@@ -1,0 +1,127 @@
+"""Shared direct-lighting estimators for wavefront integrators.
+
+TPU-native replacement for /root/reference/core/transport.cpp:31-194:
+UniformSampleAllLights / UniformSampleOneLight / EstimateDirect. The
+two-strategy MIS (light sampling with visibility + BSDF sampling with
+area/env identification, power heuristic) is preserved exactly; control flow
+becomes masked lanes.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..accel import intersect as isect
+from ..bsdf import bsdf as B
+from ..core import mc, vecmath as vm
+from ..lights import lights as lt
+from ..materials import factory as _factory
+from ..textures import graph as _tex
+from ..scene.data import AREA_GEOM_TRIS, LIGHT_AREA, LIGHT_INFINITE, SceneData
+
+_EPS = vm.RAY_EPSILON
+
+
+def shading_dg_for_hit(scene: SceneData, prim_id, o, d, t):
+    dg = isect.hit_geometry(scene, prim_id, o, d, t)
+    return dg
+
+
+def make_bsdf_at(scene: SceneData, dg, active=None):
+    """Evaluate textures + assemble lobes at hit points (GetBSDF chain,
+    core/primitive.cpp:126-133 -> materials/*.cpp)."""
+    tex_vals = _tex.eval_graph(scene.textures, scene.images, dg)
+    lobes = _factory.make_lobes(scene.materials, dg["material"], tex_vals)
+    nn, sn, tn, ng = B.make_frame(dg["sn"], dg["dpdu"], dg["nn"])
+    return B.BsdfBatch(nn=nn, sn=sn, tn=tn, ng=ng, lobes=lobes)
+
+
+def estimate_direct(scene: SceneData, light_id, p, n, wo, bsdf: B.BsdfBatch,
+                    ls1, ls2, ls3, bs1, bs2, bcs, active):
+    """EstimateDirect (core/transport.cpp:123-194) for a wavefront.
+
+    active: bool[N] — lanes that need the estimate (others return 0).
+    """
+    Ld = jnp.zeros(p.shape[:-1] + (3,), jnp.float32)
+    lights = scene.lights
+    kind = lights.kind[light_id]
+
+    # ---- Strategy 1: sample the light ----
+    smp = lt.sample(scene, light_id, p, n, ls1, ls2, ls3)
+    wi = smp["wi"]
+    light_pdf = smp["pdf"]
+    Li = smp["Li"]
+    usable = active & (light_pdf > 0.0) & ~jnp.all(Li == 0.0, axis=-1)
+    f_val = B.f(bsdf, wo, wi)
+    f_black = jnp.all(f_val == 0.0, axis=-1)
+    need_vis = usable & ~f_black
+    occ = isect.occluded(scene, p, wi,
+                         jnp.full(light_pdf.shape, _EPS), smp["vis_maxt"])
+    # Lanes not needing visibility must not pay for a miss: occluded() runs
+    # for the whole wavefront anyway (masked architecture).
+    unocc = need_vis & ~occ
+    bsdf_pdf = B.pdf(bsdf, wo, wi, B.ALL & ~B.SPECULAR)
+    w_mis = jnp.where(smp["delta"], 1.0,
+                      mc.power_heuristic(1.0, light_pdf, 1.0, bsdf_pdf))
+    contrib = f_val * Li * (vm.absdot(wi, n) * w_mis /
+                            jnp.maximum(light_pdf, 1e-20))[..., None]
+    Ld = Ld + jnp.where(unocc[..., None], contrib, 0.0)
+
+    # ---- Strategy 2: sample the BSDF (non-delta lights only) ----
+    non_delta = active & ~smp["delta"]
+    bs = B.sample_f(bsdf, wo, bs1, bs2, bcs, B.ALL & ~B.SPECULAR)
+    wi2 = bs["wi"]
+    f2 = bs["f"]
+    bpdf = bs["pdf"]
+    go = non_delta & bs["valid"] & (bpdf > 0.0) & ~jnp.all(f2 == 0.0, axis=-1)
+    lpdf2 = lt.pdf(scene, light_id, p, n, wi2)
+    # Trace the BSDF-strategy ray; identify the light.
+    t2, pid2, hit2 = isect.intersect_ids(
+        scene, p, wi2, jnp.full(bpdf.shape, _EPS),
+        jnp.full(bpdf.shape, 1e30))
+    dg2 = isect.hit_geometry(scene, pid2, p, wi2, t2)
+    hit_is_light = hit2 & (dg2["area_light"] == light_id) & \
+        (kind == LIGHT_AREA)
+    Li2 = jnp.where(hit_is_light[..., None],
+                    lt.area_emission(scene, dg2["area_light"], dg2["nn"], -wi2),
+                    0.0)
+    # Escaped ray hitting an infinite light.
+    esc = ~hit2 & (kind == LIGHT_INFINITE)
+    Li2 = jnp.where(esc[..., None], lt.le_escaped(scene, wi2), Li2)
+    # Area-light pdf from the actual hit (triangle sets).
+    is_tris = lights.area_geom_kind[light_id] == AREA_GEOM_TRIS
+    lpdf_hit = lt.pdf_area_from_hit(scene, light_id, p, wi2,
+                                    dg2["p"], dg2["nn"])
+    lpdf2 = jnp.where(hit_is_light & is_tris, lpdf_hit, lpdf2)
+    ok2 = go & (lpdf2 > 0.0) & ~jnp.all(Li2 == 0.0, axis=-1)
+    w2 = mc.power_heuristic(1.0, bpdf, 1.0, lpdf2)
+    contrib2 = f2 * Li2 * (vm.absdot(wi2, n) * w2 /
+                           jnp.maximum(bpdf, 1e-20))[..., None]
+    Ld = Ld + jnp.where(ok2[..., None], contrib2, 0.0)
+    return Ld
+
+
+def uniform_sample_one_light(scene: SceneData, p, n, wo, bsdf, u_num,
+                             ls1, ls2, ls3, bs1, bs2, bcs, active):
+    """UniformSampleOneLight (core/transport.cpp:51-70)."""
+    n_lights = scene.lights.count
+    if n_lights == 0:
+        return jnp.zeros(p.shape[:-1] + (3,), jnp.float32)
+    light_id = jnp.minimum((u_num * n_lights).astype(jnp.int32), n_lights - 1)
+    return float(n_lights) * estimate_direct(
+        scene, light_id, p, n, wo, bsdf, ls1, ls2, ls3, bs1, bs2, bcs, active)
+
+
+def uniform_sample_all_lights(scene: SceneData, p, n, wo, bsdf, sample_fn,
+                              active):
+    """UniformSampleAllLights (core/transport.cpp:31-50) with 1 sample per
+    light; sample_fn(i, purpose) -> per-lane uniforms for light i."""
+    L = jnp.zeros(p.shape[:-1] + (3,), jnp.float32)
+    for i in range(scene.lights.count):
+        lid = jnp.full(p.shape[:-1], i, jnp.int32)
+        ls1, ls2 = sample_fn(i, 0)
+        ls3 = sample_fn(i, 1)[0]
+        bs1, bs2 = sample_fn(i, 2)
+        bcs = sample_fn(i, 3)[0]
+        L = L + estimate_direct(scene, lid, p, n, wo, bsdf,
+                                ls1, ls2, ls3, bs1, bs2, bcs, active)
+    return L

@@ -1,0 +1,103 @@
+"""Whitted integrator as an iterative wavefront.
+
+TPU-native replacement for /root/reference/integrators/whitted.cpp:44-140.
+The reference recurses into BOTH specular reflection and transmission; a
+wavefront cannot branch, so each lane stochastically selects one specular
+continuation with the BSDF mixture sampler restricted to SPECULAR flags —
+the mixture pdf (1/#specular components) exactly compensates, so the
+estimator is unbiased w.r.t. the reference's deterministic recursion (noted
+divergence: variance, not mean). Direct lighting loops over every light with
+single samples and no MIS, matching whitted.cpp:74-81.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..accel import intersect as isect
+from ..bsdf import bsdf as B
+from ..core import rng, vecmath as vm
+from ..lights import lights as lt
+from ..samplers import samplers as smp
+from ..scene.data import SceneData
+from . import common
+
+_EPS = vm.RAY_EPSILON
+
+
+def li(scene: SceneData, o, d, mint, maxt, cfg: smp.SamplerConfig,
+       px, py, s_idx, max_depth: int = 5, seed: int = 0):
+    n_rays = o.shape[0]
+    L = jnp.zeros((n_rays, 3), jnp.float32)
+    throughput = jnp.ones((n_rays, 3), jnp.float32)
+    alive = jnp.ones((n_rays,), bool)
+    alpha = jnp.zeros((n_rays,), jnp.float32)
+    ph = rng.hash_u32(px, py, seed, 0x817)
+
+    ro, rd = o, d
+    rmint, rmaxt = mint, maxt
+
+    for depth in range(max_depth + 1):
+        t, pid, hit = isect.intersect_ids(scene, ro, rd, rmint, rmaxt)
+
+        # Miss: sum of light Le along the ray (whitted.cpp:52-58).
+        esc = ~hit & alive
+        if scene.lights.infinite_meta:
+            Lesc = lt.le_escaped(scene, rd)
+            L = L + jnp.where(esc[..., None], throughput * Lesc, 0.0)
+            if depth == 0:
+                alpha = jnp.where(esc & jnp.any(Lesc > 0, -1), 1.0, alpha)
+        alive = alive & hit
+        if depth == 0:
+            alpha = jnp.where(hit, 1.0, alpha)
+
+        dg = isect.hit_geometry(scene, pid, ro, rd, t)
+        # Area-light emission at the hit (whitted.cpp:69).
+        Le = lt.area_emission(scene, dg["area_light"], dg["nn"], -rd)
+        L = L + jnp.where(alive[..., None], throughput * Le, 0.0)
+
+        bsdf = common.make_bsdf_at(scene, dg)
+        p, ns = dg["p"], bsdf.nn
+        wo = -rd
+
+        # Direct lighting: every light, single sample, NO MIS
+        # (whitted.cpp:74-81: f * Li * |wi.n| with the deprecated Sample_L
+        # which folds the pdf into the returned radiance).
+        for i in range(scene.lights.count):
+            lid = jnp.full((n_rays,), i, jnp.int32)
+            ls1 = rng.uniform(ph, s_idx, depth, i, 1)
+            ls2 = rng.uniform(ph, s_idx, depth, i, 2)
+            ls3 = rng.uniform(ph, s_idx, depth, i, 3)
+            sm = lt.sample(scene, lid, p, ns, ls1, ls2, ls3)
+            ok = alive & (sm["pdf"] > 0.0) & \
+                ~jnp.all(sm["Li"] == 0.0, axis=-1)
+            f_val = B.f(bsdf, wo, sm["wi"])
+            need = ok & ~jnp.all(f_val == 0.0, axis=-1)
+            occ = isect.occluded(scene, p, sm["wi"],
+                                 jnp.full((n_rays,), _EPS), sm["vis_maxt"])
+            contrib = f_val * sm["Li"] * \
+                (vm.absdot(sm["wi"], ns) / jnp.maximum(sm["pdf"], 1e-20))[..., None]
+            L = L + jnp.where((need & ~occ)[..., None],
+                              throughput * contrib, 0.0)
+
+        if depth == max_depth:
+            break
+
+        # Specular continuation: stochastic pick among specular components
+        # (replaces the two-way recursion whitted.cpp:82-136).
+        u1 = rng.uniform(ph, s_idx, depth, 0x5A, 1)
+        u2 = rng.uniform(ph, s_idx, depth, 0x5A, 2)
+        u3 = rng.uniform(ph, s_idx, depth, 0x5A, 3)
+        bs = B.sample_f(bsdf, wo, u1, u2, u3,
+                        B.SPECULAR | B.REFLECTION | B.TRANSMISSION)
+        cont = alive & bs["valid"] & (bs["pdf"] > 0.0) & \
+            ~jnp.all(bs["f"] == 0.0, axis=-1)
+        scale = bs["f"] * (vm.absdot(bs["wi"], ns) /
+                           jnp.maximum(bs["pdf"], 1e-20))[..., None]
+        throughput = jnp.where(cont[..., None], throughput * scale, throughput)
+        alive = cont
+        ro = p
+        rd = bs["wi"]
+        rmint = jnp.full((n_rays,), _EPS, jnp.float32)
+        rmaxt = jnp.full((n_rays,), 1e30, jnp.float32)
+
+    return L, alpha

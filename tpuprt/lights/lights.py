@@ -1,0 +1,338 @@
+"""Branchless batched light sampling.
+
+TPU-native replacement for /root/reference/lights/*.cpp + the Light
+interface (core/light.h). Per-lane light ids index the SoA LightTable; every
+light kind's sample is computed masked and selected. Semantics preserved:
+
+  * point I/r^2 (lights/point.cpp:55-77),
+  * spot falloff ((cos-cw)/(cf-cw))^4 (lights/spot.cpp:67-78),
+  * distant (lights/distant.cpp:61-75),
+  * projection (perspective-projected map, lights/projection.cpp:100-113),
+  * goniometric (direction map, lights/goniometric.cpp),
+  * area lights: triangle-set CDF sampling (core/shape.h ShapeSet) and
+    sphere cone sampling (shapes/sphere.cpp:45-79), solid-angle pdf
+    dist^2/(|cos| area) (core/shape.h:96-107),
+  * infinite: cosine-weighted about the normal with hemisphere flip and
+    pdf |cos|/2pi (lights/infinite.cpp:96-120), env-map radiance by
+    spherical direction.
+
+`sample` returns the radiance, direction, pdf, and a visibility segment the
+integrator must test (the reference's VisibilityTester, core/light.h:76-87).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core import mc, spectrum as spec, transform as tf, vecmath as vm
+from ..core.vecmath import RAY_EPSILON
+from ..scene.data import (
+    AREA_GEOM_QUADRIC, AREA_GEOM_TRIS, LIGHT_AREA, LIGHT_DISTANT,
+    LIGHT_GONIOMETRIC, LIGHT_INFINITE, LIGHT_POINT, LIGHT_PROJECTION,
+    LIGHT_SPOT, SceneData,
+)
+from ..shapes import triangle as tri_mod
+from ..textures.graph import mipmap_lookup_tri
+
+_BIG = jnp.float32(1e30)
+
+
+def is_delta(kind):
+    return (kind == LIGHT_POINT) | (kind == LIGHT_SPOT) | \
+           (kind == LIGHT_DISTANT) | (kind == LIGHT_PROJECTION) | \
+           (kind == LIGHT_GONIOMETRIC)
+
+
+def _env_lookup(scene: SceneData, light_id, d_world):
+    """Sum over static infinite lights matching light_id: Lbase * map."""
+    L = jnp.zeros(d_world.shape[:-1] + (3,), jnp.float32)
+    lights = scene.lights
+    for (lid, img, _importance) in lights.infinite_meta:
+        base = lights.spectrum[lid]
+        wl = vm.normalize(tf.apply_vector(lights.w2l[lid], d_world))
+        val = base
+        if img >= 0:
+            s = vm.spherical_phi(wl) * jnp.float32(0.5 / jnp.pi)
+            t = vm.spherical_theta(wl) * jnp.float32(1.0 / jnp.pi)
+            tex = mipmap_lookup_tri(scene.images[img].levels, s, t,
+                                    jnp.zeros_like(s),
+                                    scene.images[img].wrap)
+            val = base * tex
+        else:
+            val = jnp.broadcast_to(base, L.shape)
+        L = jnp.where((light_id == lid)[..., None], val, L)
+    return L
+
+
+def le_escaped(scene: SceneData, d_world):
+    """Sum of Le over all infinite lights for escaped rays
+    (core/light.h Le default + lights/infinite.cpp:83-95)."""
+    L = jnp.zeros(d_world.shape[:-1] + (3,), jnp.float32)
+    lights = scene.lights
+    for (lid, img, _importance) in lights.infinite_meta:
+        base = lights.spectrum[lid]
+        wl = vm.normalize(tf.apply_vector(lights.w2l[lid], d_world))
+        if img >= 0:
+            s = vm.spherical_phi(wl) * jnp.float32(0.5 / jnp.pi)
+            t = vm.spherical_theta(wl) * jnp.float32(1.0 / jnp.pi)
+            tex = mipmap_lookup_tri(scene.images[img].levels, s, t,
+                                    jnp.zeros_like(s),
+                                    scene.images[img].wrap)
+            L = L + base * tex
+        else:
+            L = L + base
+    return L
+
+
+def _projection_factor(scene: SceneData, light_id, w_world):
+    """Projection/goniometric direction-dependent factor (masked, env maps
+    unrolled over the static image list as needed)."""
+    lights = scene.lights
+    g = lambda a: a[light_id]
+    kind = g(lights.kind)
+    wl = tf.apply_vector(g(lights.w2l), w_world)
+    fac = jnp.ones(w_world.shape[:-1] + (3,), jnp.float32)
+
+    # Spot falloff (lights/spot.cpp:67-78); params: [cosTotalWidth, cosFalloff]
+    wln = vm.normalize(wl)
+    costheta = wln[..., 2]
+    cw = g(lights.params)[..., 0]
+    cf = g(lights.params)[..., 1]
+    delta = jnp.clip((costheta - cw) / jnp.maximum(cf - cw, 1e-8), 0.0, 1.0)
+    fall = jnp.where(costheta < cw, 0.0,
+                     jnp.where(costheta > cf, 1.0, delta ** 4))
+    fac = jnp.where((kind == LIGHT_SPOT)[..., None], fall[..., None], fac)
+
+    # Projection (lights/projection.cpp:100-113); params:
+    # [p00, p11, p22, p23, x0, x1, y0, y1] of the projection matrix+screen.
+    p = g(lights.params)
+    zl = wln[..., 2]
+    ok_z = zl >= RAY_EPSILON
+    inv_z = 1.0 / jnp.where(ok_z, zl, 1.0)
+    # Perspective projection: x' = p00*x/z, y' = p11*y/z.
+    xs = p[..., 0] * wln[..., 0] * inv_z
+    ys = p[..., 1] * wln[..., 1] * inv_z
+    inside = ok_z & (xs >= p[..., 4]) & (xs <= p[..., 5]) & \
+        (ys >= p[..., 6]) & (ys <= p[..., 7])
+    proj = jnp.where(inside, 1.0, 0.0)
+    fac = jnp.where((kind == LIGHT_PROJECTION)[..., None],
+                    proj[..., None], fac)
+
+    # Image maps for projection (s,t from screen coords) and goniometric
+    # (spherical coords of wl), unrolled over the static dir_map_meta roster.
+    for (lid, img) in lights.dir_map_meta:
+        # Projection maps use screen coords; gonio uses spherical.
+        s_p = (xs - p[..., 4]) / jnp.maximum(p[..., 5] - p[..., 4], 1e-8)
+        t_p = (ys - p[..., 6]) / jnp.maximum(p[..., 7] - p[..., 6], 1e-8)
+        s_g = vm.spherical_phi(wln) * jnp.float32(0.5 / jnp.pi)
+        t_g = vm.spherical_theta(wln) * jnp.float32(1.0 / jnp.pi)
+        is_proj = kind == LIGHT_PROJECTION
+        s = jnp.where(is_proj, s_p, s_g)
+        t = jnp.where(is_proj, t_p, t_g)
+        tex = mipmap_lookup_tri(scene.images[img].levels, s, t,
+                                jnp.zeros_like(s), scene.images[img].wrap)
+        fac = jnp.where((light_id == lid)[..., None], fac * tex, fac)
+    return fac
+
+
+def _sample_area_tris(scene: SceneData, light_id, p, u1, u2, u3):
+    """ShapeSet triangle pick by area CDF + uniform triangle sample."""
+    lights = scene.lights
+    g = lambda a: a[light_id]
+    off = g(lights.cdf_offset)
+    cnt = g(lights.area_count)
+    # Binary search the packed CDF segment [off, off+cnt] for u3.
+    lo = jnp.zeros_like(off)
+    hi = jnp.maximum(cnt - 1, 0)
+    steps = max(1, int(jnp.ceil(jnp.log2(max(scene.lights.max_area_count, 2)))) + 1)
+    for _ in range(steps):
+        mid = (lo + hi) // 2
+        cdf_mid = scene.lights.area_cdf[off + mid + 1]
+        go_right = u3 > cdf_mid
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+    tid = g(lights.area_first) + jnp.clip(lo, 0, jnp.maximum(cnt - 1, 0))
+    ps, ns = tri_mod.sample_uniform(scene.triangles, tid, u1, u2)
+    return ps, ns
+
+
+def sample(scene: SceneData, light_id, p, n, u1, u2, u3):
+    """Light::Sample_L(p, n, u1, u2, ...) for a wavefront.
+
+    Returns dict(Li, wi, pdf, delta, vis_o, vis_d, vis_maxt) — visibility is
+    a segment/ray the caller must test for occlusion.
+    """
+    lights = scene.lights
+    g = lambda a: a[light_id]
+    kind = g(lights.kind)
+    I = g(lights.spectrum)
+    l2w = g(lights.l2w)
+    light_pos = l2w[..., :3, 3]
+
+    # --- delta position lights: point/spot/projection/goniometric ---
+    to_l = light_pos - p
+    d2 = jnp.maximum(vm.length_sq(to_l), 1e-12)
+    wi_pt = to_l * jax_rsqrt(d2)[..., None]
+    Li_pt = I / d2[..., None]
+    # Direction-dependent factor for spot/projection/gonio.
+    fac = _projection_factor(scene, light_id, -wi_pt)
+    Li_pt = Li_pt * jnp.where(((kind == LIGHT_SPOT) |
+                               (kind == LIGHT_PROJECTION) |
+                               (kind == LIGHT_GONIOMETRIC))[..., None],
+                              fac, 1.0)
+
+    # --- distant: wi stored world dir in params[0:3] ---
+    wi_dist = g(lights.params)[..., 0:3]
+    Li_dist = I
+
+    # --- area ---
+    is_quad_geom = g(lights.area_geom_kind) == AREA_GEOM_QUADRIC
+    # Sphere cone sampling (shapes/sphere.cpp:45-79).
+    qid = jnp.clip(g(lights.area_first), 0,
+                   max(scene.quadrics.count - 1, 0))
+    q_o2w = scene.quadrics.o2w[qid]
+    center = q_o2w[..., :3, 3]
+    radius = scene.quadrics.params[qid][..., 0]
+    to_c = center - p
+    dc2 = jnp.maximum(vm.length_sq(to_c), 1e-12)
+    inside = dc2 - radius * radius < 1e-4
+    wc = to_c * jax_rsqrt(dc2)[..., None]
+    _, wcx, wcy = vm.coordinate_system(wc)
+    cos_max = jnp.sqrt(jnp.maximum(0.0, 1.0 - radius * radius / dc2))
+    dir_cone = mc.uniform_sample_cone_frame(u1, u2, cos_max, wcx, wcy, wc)
+    # Project the cone ray onto the sphere (reference intersects; closed form)
+    b = vm.dot(dir_cone, to_c)
+    disc = b * b - (dc2 - radius * radius)
+    thit = b - jnp.sqrt(jnp.maximum(disc, 0.0))
+    thit = jnp.where(disc > 0, thit, vm.dot(to_c, dir_cone))
+    ps_sph = p + thit[..., None] * dir_cone
+    ns_sph = vm.normalize(ps_sph - center)
+    # Inside: uniform over sphere.
+    sph_dir = mc.uniform_sample_sphere(u1, u2)
+    ps_in = center + radius[..., None] * sph_dir
+    ns_in = sph_dir
+    ps_q = jnp.where(inside[..., None], ps_in, ps_sph)
+    ns_q = jnp.where(inside[..., None], ns_in, ns_sph)
+    flipq = scene.quadrics.flip_normal[qid]
+    ns_q = ns_q * flipq[..., None]
+    pdf_q = jnp.where(
+        inside,
+        # uniform-area pdf converted below via the generic path
+        1.0 / jnp.maximum(g(lights.area_total_area), 1e-12),
+        mc.uniform_cone_pdf(cos_max))
+
+    # Triangles.
+    if scene.triangles.count > 0:
+        ps_t, ns_t = _sample_area_tris(scene, light_id, p, u1, u2, u3)
+    else:
+        ps_t, ns_t = ps_q, ns_q
+    ps_a = jnp.where(is_quad_geom[..., None], ps_q, ps_t)
+    ns_a = jnp.where(is_quad_geom[..., None], ns_q, ns_t)
+    to_s = ps_a - p
+    ds2 = jnp.maximum(vm.length_sq(to_s), 1e-12)
+    wi_area = to_s * jax_rsqrt(ds2)[..., None]
+    cos_l = vm.absdot(ns_a, wi_area)
+    # Solid-angle pdf (core/shape.h:96-107): dist^2/(|cos| * area).
+    pdf_area_sa = ds2 / jnp.maximum(cos_l * g(lights.area_total_area), 1e-12)
+    pdf_area = jnp.where(is_quad_geom & ~inside, pdf_q, pdf_area_sa)
+    # One-sided emission L(p,n,w) (core/light.h:88-116).
+    emits = vm.dot(ns_a, -wi_area) > 0.0
+    Li_area = jnp.where(emits[..., None], I, 0.0)
+
+    # --- infinite: cosine about n, hemisphere flip by u3 ---
+    x, y = mc.concentric_sample_disk(u1, u2)
+    z = jnp.sqrt(jnp.maximum(0.0, 1.0 - x * x - y * y))
+    z = jnp.where(u3 < 0.5, -z, z)
+    nf = vm.normalize(n)
+    _, v1, v2 = vm.coordinate_system(nf)
+    wi_inf = x[..., None] * v1 + y[..., None] * v2 + z[..., None] * nf
+    pdf_inf = jnp.abs(z) * mc.INV_TWOPI
+    Li_inf = _env_lookup(scene, light_id, wi_inf)
+
+    # --- select by kind ---
+    delta = is_delta(kind)
+    wi = jnp.where(delta[..., None], wi_pt, wi_inf)
+    wi = jnp.where((kind == LIGHT_DISTANT)[..., None], wi_dist, wi)
+    wi = jnp.where((kind == LIGHT_AREA)[..., None], wi_area, wi)
+    Li = jnp.where(delta[..., None], Li_pt, Li_inf)
+    Li = jnp.where((kind == LIGHT_DISTANT)[..., None], Li_dist, Li)
+    Li = jnp.where((kind == LIGHT_AREA)[..., None], Li_area, Li)
+    pdf = jnp.where(delta, 1.0, pdf_inf)
+    pdf = jnp.where(kind == LIGHT_DISTANT, 1.0, pdf)
+    pdf = jnp.where(kind == LIGHT_AREA, pdf_area, pdf)
+
+    # Visibility: segment to light point (delta/area), ray to inf (dist/env).
+    seg = delta | (kind == LIGHT_AREA)
+    seg_target = jnp.where((kind == LIGHT_AREA)[..., None], ps_a, light_pos)
+    dist = jnp.sqrt(jnp.maximum(vm.length_sq(seg_target - p), 1e-12))
+    vis_maxt = jnp.where(seg, dist * (1.0 - 1e-3), _BIG)
+    return dict(Li=Li, wi=wi, pdf=pdf, delta=delta, vis_maxt=vis_maxt)
+
+
+def pdf(scene: SceneData, light_id, p, n, wi):
+    """light->Pdf(p, n, wi) for MIS BSDF-strategy weighting.
+
+    Delta lights: 0. Infinite: |n.wi|/2pi (lights/infinite.cpp:117-120).
+    Area: solid-angle pdf — the caller provides the actual hit on the light
+    via pdf_area_from_hit when available; this version intersects only the
+    area light's own sphere analytically (cone pdf).
+    """
+    lights = scene.lights
+    g = lambda a: a[light_id]
+    kind = g(lights.kind)
+    out = jnp.zeros(p.shape[:-1], jnp.float32)
+    # Infinite.
+    out = jnp.where(kind == LIGHT_INFINITE,
+                    vm.absdot(n, wi) * mc.INV_TWOPI, out)
+    # Area sphere: cone pdf.
+    qid = jnp.clip(g(lights.area_first), 0, max(scene.quadrics.count - 1, 0))
+    center = scene.quadrics.o2w[qid][..., :3, 3]
+    radius = scene.quadrics.params[qid][..., 0]
+    dc2 = jnp.maximum(vm.length_sq(center - p), 1e-12)
+    cos_max = jnp.sqrt(jnp.maximum(0.0, 1.0 - radius * radius / dc2))
+    is_sphere = (kind == LIGHT_AREA) & (g(lights.area_geom_kind) == AREA_GEOM_QUADRIC)
+    out = jnp.where(is_sphere, mc.uniform_cone_pdf(cos_max), out)
+    return out
+
+
+def pdf_area_from_hit(scene: SceneData, light_id, p, wi, hit_p, hit_nn):
+    """Solid-angle pdf for a triangle-set area light given the actual hit
+    point found by the scene intersection (Shape::Pdf(p,wi) semantics)."""
+    lights = scene.lights
+    g = lambda a: a[light_id]
+    d2 = vm.length_sq(hit_p - p)
+    cos_l = vm.absdot(hit_nn, wi)
+    return d2 / jnp.maximum(cos_l * g(lights.area_total_area), 1e-12)
+
+
+def area_emission(scene: SceneData, area_id, nn, w):
+    """AreaLight::L(p, n, w): one-sided Lemit (core/light.h:97-101)."""
+    aid = jnp.maximum(area_id, 0)
+    L = scene.lights.spectrum[aid]
+    emits = (vm.dot(nn, w) > 0.0) & (area_id >= 0)
+    return jnp.where(emits[..., None], L, 0.0)
+
+
+def power(scene: SceneData):
+    """Light::Power approximations for light-selection CDFs."""
+    lights = scene.lights
+    lo, hi = scene.world_bound_lo, scene.world_bound_hi
+    radius = 0.5 * vm.length(hi - lo)
+    area_pow = lights.spectrum * (lights.area_total_area[..., None] * jnp.pi)
+    point_pow = lights.spectrum * (4.0 * jnp.pi)
+    spot_pow = lights.spectrum * (2.0 * jnp.pi * (
+        1.0 - 0.5 * (lights.params[..., 1] + lights.params[..., 0])))[..., None]
+    dist_pow = lights.spectrum * (jnp.pi * radius * radius)
+    inf_pow = lights.spectrum * (jnp.pi * radius * radius)
+    k = lights.kind
+    out = jnp.where((k == LIGHT_POINT)[..., None], point_pow, inf_pow)
+    out = jnp.where((k == LIGHT_SPOT)[..., None], spot_pow, out)
+    out = jnp.where((k == LIGHT_PROJECTION)[..., None], spot_pow, out)
+    out = jnp.where((k == LIGHT_GONIOMETRIC)[..., None], point_pow, out)
+    out = jnp.where((k == LIGHT_DISTANT)[..., None], dist_pow, out)
+    out = jnp.where((k == LIGHT_AREA)[..., None], area_pow, out)
+    return out
+
+
+def jax_rsqrt(x):
+    from jax import lax
+    return lax.rsqrt(x)

@@ -1,0 +1,111 @@
+"""Render driver: the TPU-native Scene::Render
+(/root/reference/core/scene.cpp:32-88).
+
+The reference's sequential sample loop becomes: enumerate the (pixel,
+sample-index) space of the crop window, process it in fixed-size wavefront
+chunks under one jit'd step (camera raygen -> integrator Li -> NaN guards ->
+filtered film splat), then develop the film. Deterministic counter-based
+sampling makes every chunk independent — the basis for device sharding
+(parallel/shard.py).
+"""
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .cameras import cameras as cam_mod
+from .core import spectrum as spec
+from .film import film as film_mod
+from .samplers import samplers as smp
+from .scene.data import SceneData
+# Integrators imported eagerly: lazy imports inside a jit trace would create
+# module-level jnp constants as leaked tracers.
+from .integrators import whitted as _whitted, path as _path
+
+
+class RenderOptions(NamedTuple):
+    xres: int = 256
+    yres: int = 256
+    sampler: smp.SamplerConfig = smp.SamplerConfig()
+    filter_kind: str = "mitchell"      # reference default (core/api.cpp:64)
+    filter_xwidth: float = 2.0
+    filter_ywidth: float = 2.0
+    integrator: str = "whitted"        # whitted|path|directlighting|debug
+    max_depth: int = 5
+    crop: tuple = (0.0, 1.0, 0.0, 1.0)
+    seed: int = 0
+    chunk_size: int = 1 << 16          # wavefront size
+    direct_strategy: str = "all"       # directlighting: all|one|weighted
+    debug_channels: tuple = ("u", "v", "hit")
+
+
+def _li_dispatch(scene, opts: RenderOptions, o, d, mint, maxt,
+                 px, py, s_idx):
+    if opts.integrator == "whitted":
+        return _whitted.li(scene, o, d, mint, maxt, opts.sampler, px, py,
+                           s_idx, opts.max_depth, opts.seed)
+    if opts.integrator == "path":
+        return _path.li(scene, o, d, mint, maxt, opts.sampler, px, py,
+                        s_idx, opts.max_depth, opts.seed)
+    if opts.integrator == "directlighting":
+        from .integrators import directlighting
+        return directlighting.li(scene, o, d, mint, maxt, opts.sampler,
+                                 px, py, s_idx, opts.max_depth, opts.seed,
+                                 opts.direct_strategy)
+    if opts.integrator == "debug":
+        from .integrators import debug
+        return debug.li(scene, o, d, mint, maxt, opts.debug_channels)
+    raise ValueError(f"unknown integrator {opts.integrator}")
+
+
+def render_chunk(scene: SceneData, opts: RenderOptions, film: film_mod.Film,
+                 px, py, s_idx, valid):
+    """One jit-able wavefront step: raygen -> Li -> guards -> splat."""
+    cs = smp.camera_samples(opts.sampler, px, py, s_idx, opts.seed)
+    o, d, mint, maxt, time = cam_mod.generate_rays(
+        scene.camera, cs["image_x"], cs["image_y"], cs["lens_u"],
+        cs["lens_v"], cs["time"], opts.xres, opts.yres)
+    L, alpha = _li_dispatch(scene, opts, o, d, mint, maxt, px, py, s_idx)
+    # Radiance guards (core/scene.cpp:60-74): NaN/negative/inf -> black.
+    bad = jnp.any(~jnp.isfinite(L) | (L < 0.0), axis=-1)
+    L = jnp.where(bad[..., None], 0.0, L)
+    L = jnp.where(valid[..., None], L, 0.0)
+    w_valid = jnp.where(valid, 1.0, 0.0)
+    # Invalid (padding) lanes get zero filter weight via off-screen coords.
+    ix = jnp.where(valid, cs["image_x"], -1e6)
+    iy = jnp.where(valid, cs["image_y"], -1e6)
+    return film_mod.add_samples(film, ix, iy, L, alpha * w_valid,
+                                opts.filter_kind, opts.filter_xwidth,
+                                opts.filter_ywidth)
+
+
+def render(scene: SceneData, opts: RenderOptions):
+    """Full frame render. Returns (rgb f32[yres,xres,3], alpha)."""
+    film = film_mod.make_film(opts.xres, opts.yres, opts.crop)
+    xstart, xcount, ystart, ycount = film_mod.pixel_extent(film)
+    spp = smp.samples_per_pixel(opts.sampler)
+    total = xcount * ycount * spp
+    chunk = min(opts.chunk_size, total)
+
+    step = jax.jit(
+        lambda sc, f, px, py, si, v: render_chunk(sc, opts, f, px, py, si, v))
+
+    n_chunks = math.ceil(total / chunk)
+    for c in range(n_chunks):
+        base = c * chunk
+        lin = np.arange(base, base + chunk)
+        valid = lin < total
+        lin = np.minimum(lin, total - 1)
+        s_idx = lin % spp
+        pix = lin // spp
+        px = xstart + (pix % xcount)
+        py = ystart + (pix // xcount)
+        film = step(scene, film,
+                    jnp.asarray(px, jnp.int32), jnp.asarray(py, jnp.int32),
+                    jnp.asarray(s_idx, jnp.int32), jnp.asarray(valid))
+    rgb, alpha = film_mod.develop(film)
+    return np.asarray(rgb), np.asarray(alpha)

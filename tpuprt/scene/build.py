@@ -1,0 +1,520 @@
+"""Host-side scene compilation: Python API -> frozen SoA SceneData.
+
+This is the TPU-native replacement for the reference's scene-construction
+API + RenderOptions::MakeScene (/root/reference/core/api.cpp:354-529): all
+object creation, transform application, tessellation, and table packing
+happen eagerly on the host in numpy; `build()` freezes everything into the
+SceneData pytree of device arrays. The pbrt-format parser (scene/parser.py)
+drives this same builder, mirroring how every grammar production calls one
+pbrt* API function.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core import transform as tf
+from ..materials.factory import MATERIAL_KINDS
+from ..textures.graph import TexGraph, TexNodeMeta
+from . import data as D
+
+
+@dataclass
+class _Quadric:
+    kind: int
+    o2w: np.ndarray
+    params: np.ndarray
+    material: int
+    area_light: int
+    flip: float
+
+
+@dataclass
+class _Mesh:
+    verts: np.ndarray          # world space [V,3]
+    idx: np.ndarray            # [T,3]
+    normals: Optional[np.ndarray]
+    uv: Optional[np.ndarray]
+    tangents: Optional[np.ndarray]
+    material: int
+    area_light: int
+    flip: float
+
+
+@dataclass
+class _Light:
+    kind: int
+    l2w: np.ndarray
+    spectrum: np.ndarray
+    params: np.ndarray = field(default_factory=lambda: np.zeros(8, np.float32))
+    nsamples: int = 1
+    image: int = -1
+    area_geom_kind: int = 0
+    area_first: int = 0
+    area_count: int = 1
+    area_total: float = 0.0
+    tri_areas: Optional[np.ndarray] = None
+
+
+class SceneBuilder:
+    def __init__(self):
+        self.quadrics: List[_Quadric] = []
+        self.meshes: List[_Mesh] = []
+        self.materials: List[Tuple[int, List[int], int]] = []  # kind, tex, bump
+        self.tex_nodes: List[TexNodeMeta] = []
+        self.tex_fparams: List[np.ndarray] = []
+        self.tex_w2t: List[np.ndarray] = []
+        self.images: List[Tuple[Tuple[np.ndarray, ...], int]] = []
+        self.lights: List[_Light] = []
+        self.volumes: List[Dict[str, Any]] = []
+        self.camera: Optional[D.CameraData] = None
+        self.accel_kind: str = "none"
+        self.accel_params: Dict[str, Any] = {}
+        self._const_cache: Dict[Tuple[float, float, float], int] = {}
+
+    # ---- textures -------------------------------------------------------
+    def add_texture(self, meta: TexNodeMeta, fparams=None, w2t=None) -> int:
+        fp = np.zeros(16, np.float32)
+        if fparams is not None:
+            fp[: len(fparams)] = np.asarray(fparams, np.float32)
+        m = np.eye(4, dtype=np.float32) if w2t is None else np.asarray(w2t, np.float32)
+        self.tex_nodes.append(meta)
+        self.tex_fparams.append(fp)
+        self.tex_w2t.append(m)
+        return len(self.tex_nodes) - 1
+
+    def constant_texture(self, value) -> int:
+        v = np.asarray(value, np.float32)
+        if v.ndim == 0:
+            v = np.repeat(v[None], 3)
+        key = tuple(np.round(v, 7).tolist())
+        if key in self._const_cache:
+            return self._const_cache[key]
+        tid = self.add_texture(TexNodeMeta(kind="constant"), fparams=v)
+        self._const_cache[key] = tid
+        return tid
+
+    def add_image(self, levels: Tuple[np.ndarray, ...], wrap: int = 0) -> int:
+        self.images.append((levels, wrap))
+        return len(self.images) - 1
+
+    # ---- materials ------------------------------------------------------
+    def add_material(self, kind: str, tex_slots: List[int], bump: int = -1) -> int:
+        k = MATERIAL_KINDS[kind]
+        slots = list(tex_slots) + [-1] * (8 - len(tex_slots))
+        self.materials.append((k, slots[:8], bump))
+        return len(self.materials) - 1
+
+    def matte(self, kd=(0.5, 0.5, 0.5), sigma=0.0, kd_tex=None, sigma_tex=None):
+        kd_t = kd_tex if kd_tex is not None else self.constant_texture(kd)
+        sg_t = sigma_tex if sigma_tex is not None else self.constant_texture(sigma)
+        return self.add_material("matte", [kd_t, sg_t])
+
+    def plastic(self, kd=(0.25,) * 3, ks=(0.25,) * 3, roughness=0.1):
+        return self.add_material("plastic", [
+            self.constant_texture(kd), self.constant_texture(ks),
+            self.constant_texture(roughness)])
+
+    def glass(self, kr=(1.0,) * 3, kt=(1.0,) * 3, index=1.5):
+        return self.add_material("glass", [
+            self.constant_texture(kr), self.constant_texture(kt),
+            self.constant_texture(index)])
+
+    def mirror(self, kr=(0.9,) * 3):
+        return self.add_material("mirror", [self.constant_texture(kr)])
+
+    # ---- shapes ---------------------------------------------------------
+    def add_sphere(self, o2w, radius=1.0, zmin=None, zmax=None, phimax=360.0,
+                   material=0, area_light=-1, reverse_orientation=False):
+        o2w = np.asarray(o2w, np.float32)
+        zmin = -radius if zmin is None else max(zmin, -radius)
+        zmax = radius if zmax is None else min(zmax, radius)
+        thetamin = math.acos(np.clip(zmin / radius, -1, 1))
+        thetamax = math.acos(np.clip(zmax / radius, -1, 1))
+        # theta measured from +z: acos(zmax) < acos(zmin); store min->max as
+        # the reference does (sphere.cpp:93-98 uses thetaMin=acos(zmin)).
+        params = np.array([radius, zmin, zmax, math.radians(phimax),
+                           thetamin, thetamax, 0, 0], np.float32)
+        flip = -1.0 if (reverse_orientation ^ tf.swaps_handedness(o2w)) else 1.0
+        self.quadrics.append(_Quadric(D.QUADRIC_SPHERE, o2w, params,
+                                      material, area_light, flip))
+        return len(self.quadrics) - 1
+
+    def add_cylinder(self, o2w, radius=1.0, zmin=-1.0, zmax=1.0, phimax=360.0,
+                     material=0, area_light=-1, reverse_orientation=False):
+        o2w = np.asarray(o2w, np.float32)
+        params = np.array([radius, zmin, zmax, math.radians(phimax),
+                           0, 0, 0, 0], np.float32)
+        flip = -1.0 if (reverse_orientation ^ tf.swaps_handedness(o2w)) else 1.0
+        self.quadrics.append(_Quadric(D.QUADRIC_CYLINDER, o2w, params,
+                                      material, area_light, flip))
+        return len(self.quadrics) - 1
+
+    def add_disk(self, o2w, height=0.0, radius=1.0, inner_radius=0.0,
+                 phimax=360.0, material=0, area_light=-1,
+                 reverse_orientation=False):
+        o2w = np.asarray(o2w, np.float32)
+        params = np.array([height, radius, inner_radius, math.radians(phimax),
+                           0, 0, 0, 0], np.float32)
+        flip = -1.0 if (reverse_orientation ^ tf.swaps_handedness(o2w)) else 1.0
+        self.quadrics.append(_Quadric(D.QUADRIC_DISK, o2w, params,
+                                      material, area_light, flip))
+        return len(self.quadrics) - 1
+
+    def add_cone(self, o2w, radius=1.0, height=1.0, phimax=360.0, material=0,
+                 area_light=-1, reverse_orientation=False):
+        o2w = np.asarray(o2w, np.float32)
+        params = np.array([radius, height, math.radians(phimax),
+                           0, 0, 0, 0, 0], np.float32)
+        flip = -1.0 if (reverse_orientation ^ tf.swaps_handedness(o2w)) else 1.0
+        self.quadrics.append(_Quadric(D.QUADRIC_CONE, o2w, params,
+                                      material, area_light, flip))
+        return len(self.quadrics) - 1
+
+    def add_paraboloid(self, o2w, radius=1.0, zmin=0.0, zmax=1.0,
+                       phimax=360.0, material=0, area_light=-1,
+                       reverse_orientation=False):
+        o2w = np.asarray(o2w, np.float32)
+        params = np.array([radius, zmin, zmax, math.radians(phimax),
+                           0, 0, 0, 0], np.float32)
+        flip = -1.0 if (reverse_orientation ^ tf.swaps_handedness(o2w)) else 1.0
+        self.quadrics.append(_Quadric(D.QUADRIC_PARABOLOID, o2w, params,
+                                      material, area_light, flip))
+        return len(self.quadrics) - 1
+
+    def add_hyperboloid(self, o2w, p1=(0, 0, 0), p2=(1, 1, 1), phimax=360.0,
+                        material=0, area_light=-1, reverse_orientation=False):
+        """Solve the implicit coefficients a, c like the reference ctor
+        (shapes/hyperboloid.cpp:38-70)."""
+        o2w = np.asarray(o2w, np.float32)
+        p1 = np.asarray(p1, np.float64)
+        p2 = np.asarray(p2, np.float64)
+        if p2[2] == 0:
+            p1, p2 = p2, p1
+        pp = p1.copy()
+        a = c = 0.0
+        for _ in range(1000):
+            pp = pp + 2.0 * (p2 - pp)
+            xy1 = pp[0] ** 2 + pp[1] ** 2
+            xy2 = p2[0] ** 2 + p2[1] ** 2
+            denom = xy1 * p2[2] ** 2 - xy2 * pp[2] ** 2
+            if abs(denom) > 1e-12:
+                a = (pp[2] ** 2 - p2[2] ** 2) / denom * -1.0
+                a = (1.0 * (pp[2] ** 2) - 1.0 * (p2[2] ** 2))
+                # a,c from solving a*xy - c*z^2 = 1 at pp and p2:
+                M = np.array([[xy1, -pp[2] ** 2], [xy2, -p2[2] ** 2]])
+                try:
+                    sol = np.linalg.solve(M, np.ones(2))
+                    a, c = sol[0], sol[1]
+                    if not (math.isinf(a) or math.isnan(a)):
+                        break
+                except np.linalg.LinAlgError:
+                    continue
+        params = np.array([a, c, p1[2], p1[0], p1[1], p2[2],
+                           math.radians(phimax), 0], np.float32)
+        flip = -1.0 if (reverse_orientation ^ tf.swaps_handedness(o2w)) else 1.0
+        self.quadrics.append(_Quadric(D.QUADRIC_HYPERBOLOID, o2w, params,
+                                      material, area_light, flip))
+        return len(self.quadrics) - 1
+
+    def add_trianglemesh(self, o2w, indices, P, N=None, uv=None, S=None,
+                         material=0, area_light=-1,
+                         reverse_orientation=False):
+        """World-space mesh like the reference TriangleMesh ctor
+        (shapes/trianglemesh.cpp:38-64 transforms verts to world)."""
+        o2w = np.asarray(o2w, np.float32)
+        P = np.asarray(P, np.float32).reshape(-1, 3)
+        idx = np.asarray(indices, np.int32).reshape(-1, 3)
+        vw = (P @ o2w[:3, :3].T) + o2w[:3, 3]
+        nw = None
+        if N is not None:
+            n = np.asarray(N, np.float32).reshape(-1, 3)
+            inv = np.linalg.inv(o2w)
+            nw = n @ inv[:3, :3]  # inverse-transpose
+            nw /= np.maximum(np.linalg.norm(nw, axis=-1, keepdims=True), 1e-12)
+        sw = None
+        if S is not None:
+            s = np.asarray(S, np.float32).reshape(-1, 3)
+            sw = s @ o2w[:3, :3].T
+        uvw = np.asarray(uv, np.float32).reshape(-1, 2) if uv is not None else None
+        flip = -1.0 if (reverse_orientation ^ tf.swaps_handedness(o2w)) else 1.0
+        self.meshes.append(_Mesh(vw, idx, nw, uvw, sw, material, area_light,
+                                 flip))
+        return len(self.meshes) - 1
+
+    # ---- lights ---------------------------------------------------------
+    def add_point_light(self, l2w, intensity=(1.0,) * 3):
+        l2w = np.asarray(l2w, np.float32)
+        self.lights.append(_Light(D.LIGHT_POINT, l2w,
+                                  np.asarray(intensity, np.float32)))
+        return len(self.lights) - 1
+
+    def add_spot_light(self, l2w, intensity=(1.0,) * 3, coneangle=30.0,
+                       conedeltaangle=5.0):
+        params = np.zeros(8, np.float32)
+        params[0] = math.cos(math.radians(coneangle))
+        params[1] = math.cos(math.radians(coneangle - conedeltaangle))
+        self.lights.append(_Light(D.LIGHT_SPOT, np.asarray(l2w, np.float32),
+                                  np.asarray(intensity, np.float32), params))
+        return len(self.lights) - 1
+
+    def add_distant_light(self, l2w, L=(1.0,) * 3, frm=(0, 0, 0), to=(0, 0, 1)):
+        l2w = np.asarray(l2w, np.float32)
+        d = np.asarray(frm, np.float64) - np.asarray(to, np.float64)
+        dw = l2w[:3, :3] @ d
+        dw /= np.linalg.norm(dw)
+        params = np.zeros(8, np.float32)
+        params[0:3] = dw
+        self.lights.append(_Light(D.LIGHT_DISTANT, l2w,
+                                  np.asarray(L, np.float32), params))
+        return len(self.lights) - 1
+
+    def add_infinite_light(self, l2w, L=(1.0,) * 3, image=-1, nsamples=1):
+        self.lights.append(_Light(D.LIGHT_INFINITE, np.asarray(l2w, np.float32),
+                                  np.asarray(L, np.float32), image=image,
+                                  nsamples=nsamples))
+        return len(self.lights) - 1
+
+    def add_projection_light(self, l2w, intensity=(1.0,) * 3, fov=45.0,
+                             image=-1, aspect=1.0):
+        params = np.zeros(8, np.float32)
+        inv_tan = 1.0 / math.tan(math.radians(fov) / 2.0)
+        params[0] = inv_tan
+        params[1] = inv_tan
+        if aspect > 1.0:
+            params[4:8] = [-aspect, aspect, -1.0, 1.0]
+        else:
+            params[4:8] = [-1.0, 1.0, -1.0 / aspect, 1.0 / aspect]
+        self.lights.append(_Light(
+            D.LIGHT_PROJECTION, np.asarray(l2w, np.float32),
+            np.asarray(intensity, np.float32), params, image=image))
+        return len(self.lights) - 1
+
+    def add_goniometric_light(self, l2w, intensity=(1.0,) * 3, image=-1):
+        self.lights.append(_Light(
+            D.LIGHT_GONIOMETRIC, np.asarray(l2w, np.float32),
+            np.asarray(intensity, np.float32), image=image))
+        return len(self.lights) - 1
+
+    def add_area_light_sphere(self, quadric_id: int, L=(1.0,) * 3,
+                              nsamples=1):
+        q = self.quadrics[quadric_id]
+        radius = float(q.params[0])
+        # Conservative full-sphere area (partial spheres: reference computes
+        # phiMax/z-clipped area, sphere.cpp Area()).
+        zmin, zmax, phimax = float(q.params[1]), float(q.params[2]), float(q.params[3])
+        area = phimax * radius * (zmax - zmin)
+        lid = len(self.lights)
+        light = _Light(D.LIGHT_AREA, q.o2w, np.asarray(L, np.float32),
+                       nsamples=nsamples, area_geom_kind=D.AREA_GEOM_QUADRIC,
+                       area_first=quadric_id, area_count=1, area_total=area)
+        self.lights.append(light)
+        q.area_light = lid
+        return lid
+
+    def add_area_light_mesh(self, mesh_id: int, L=(1.0,) * 3, nsamples=1):
+        """Registered at build(): triangle range assigned after packing."""
+        m = self.meshes[mesh_id]
+        v = m.verts
+        p0, p1, p2 = v[m.idx[:, 0]], v[m.idx[:, 1]], v[m.idx[:, 2]]
+        areas = 0.5 * np.linalg.norm(np.cross(p1 - p0, p2 - p0), axis=-1)
+        lid = len(self.lights)
+        light = _Light(D.LIGHT_AREA, np.eye(4, dtype=np.float32),
+                       np.asarray(L, np.float32), nsamples=nsamples,
+                       area_geom_kind=D.AREA_GEOM_TRIS, area_first=mesh_id,
+                       area_count=len(areas), area_total=float(areas.sum()),
+                       tri_areas=areas)
+        self.lights.append(light)
+        m.area_light = lid
+        return lid
+
+    # ---- camera ---------------------------------------------------------
+    def set_camera(self, cam: D.CameraData):
+        self.camera = cam
+
+    # ---- build ----------------------------------------------------------
+    def build(self) -> D.SceneData:
+        # Quadrics.
+        nq = len(self.quadrics)
+        if nq:
+            q = D.QuadricTable(
+                kind=jnp.asarray([x.kind for x in self.quadrics], jnp.int32),
+                o2w=jnp.asarray(np.stack([x.o2w for x in self.quadrics])),
+                w2o=jnp.asarray(np.stack(
+                    [np.linalg.inv(x.o2w).astype(np.float32)
+                     for x in self.quadrics])),
+                params=jnp.asarray(np.stack([x.params for x in self.quadrics])),
+                material=jnp.asarray([x.material for x in self.quadrics], jnp.int32),
+                area_light=jnp.asarray([x.area_light for x in self.quadrics], jnp.int32),
+                flip_normal=jnp.asarray([x.flip for x in self.quadrics], jnp.float32),
+                count=nq)
+        else:
+            z = jnp.zeros
+            q = D.QuadricTable(kind=z((0,), jnp.int32), o2w=z((0, 4, 4)),
+                               w2o=z((0, 4, 4)), params=z((0, 8)),
+                               material=z((0,), jnp.int32),
+                               area_light=z((0,), jnp.int32),
+                               flip_normal=z((0,)), count=0)
+
+        # Triangles: concatenate meshes; record per-mesh triangle offsets.
+        mesh_tri_offset = []
+        verts_l, idx_l, n_l, uv_l, tan_l = [], [], [], [], []
+        hasn_l, hast_l, mat_l, al_l, flip_l = [], [], [], [], []
+        voff = 0
+        toff = 0
+        for m in self.meshes:
+            mesh_tri_offset.append(toff)
+            nt = len(m.idx)
+            nv = len(m.verts)
+            verts_l.append(m.verts)
+            idx_l.append(m.idx + voff)
+            n_l.append(m.normals if m.normals is not None
+                       else np.zeros((nv, 3), np.float32))
+            uv_l.append(m.uv if m.uv is not None
+                        else np.zeros((nv, 2), np.float32))
+            tan_l.append(m.tangents if m.tangents is not None
+                         else np.zeros((nv, 3), np.float32))
+            hasn_l.append(np.full(nt, m.normals is not None))
+            hast_l.append(np.full(nt, m.tangents is not None))
+            mat_l.append(np.full(nt, m.material, np.int32))
+            al_l.append(np.full(nt, m.area_light, np.int32))
+            flip_l.append(np.full(nt, m.flip, np.float32))
+            voff += nv
+            toff += nt
+        nt_total = toff
+        if nt_total:
+            tri = D.TriangleTable(
+                verts=jnp.asarray(np.concatenate(verts_l)),
+                idx=jnp.asarray(np.concatenate(idx_l)),
+                normals=jnp.asarray(np.concatenate(n_l)),
+                uv=jnp.asarray(np.concatenate(uv_l)),
+                tangents=jnp.asarray(np.concatenate(tan_l)),
+                has_normals=jnp.asarray(np.concatenate(hasn_l)),
+                has_tangents=jnp.asarray(np.concatenate(hast_l)),
+                material=jnp.asarray(np.concatenate(mat_l)),
+                area_light=jnp.asarray(np.concatenate(al_l)),
+                flip_normal=jnp.asarray(np.concatenate(flip_l)),
+                count=nt_total)
+        else:
+            z = jnp.zeros
+            tri = D.TriangleTable(
+                verts=z((1, 3)), idx=z((0, 3), jnp.int32), normals=z((1, 3)),
+                uv=z((1, 2)), tangents=z((1, 3)),
+                has_normals=z((0,), bool), has_tangents=z((0,), bool),
+                material=z((0,), jnp.int32), area_light=z((0,), jnp.int32),
+                flip_normal=z((0,)), count=0)
+
+        # Materials.
+        nm = max(1, len(self.materials))
+        mats = self.materials or [(0, [self.constant_texture((0.5,) * 3),
+                                       self.constant_texture(0.0)] + [-1] * 6, -1)]
+        materials = D.MaterialTable(
+            kind=jnp.asarray([m[0] for m in mats], jnp.int32),
+            tex=jnp.asarray([m[1] for m in mats], jnp.int32),
+            bump=jnp.asarray([m[2] for m in mats], jnp.int32),
+            count=nm)
+
+        # Texture graph.
+        if self.tex_nodes:
+            textures = TexGraph(
+                fparams=jnp.asarray(np.stack(self.tex_fparams)),
+                w2t=jnp.asarray(np.stack(self.tex_w2t)),
+                nodes=tuple(self.tex_nodes))
+        else:
+            from ..textures.graph import empty_graph
+            textures = empty_graph()
+
+        images = tuple(
+            D.ImagePyramid(levels=tuple(jnp.asarray(l) for l in lv), wrap=w)
+            for (lv, w) in self.images)
+
+        # Lights: resolve mesh-range area lights, pack CDFs.
+        nl = len(self.lights)
+        cdf_flat: List[float] = []
+        cdf_off = []
+        max_cnt = 1
+        for li_ in self.lights:
+            cdf_off.append(len(cdf_flat))
+            if li_.kind == D.LIGHT_AREA and li_.area_geom_kind == D.AREA_GEOM_TRIS:
+                mesh_id = li_.area_first
+                li_.area_first = mesh_tri_offset[mesh_id]
+                areas = li_.tri_areas
+                c = np.concatenate([[0.0], np.cumsum(areas)])
+                c /= max(c[-1], 1e-12)
+                cdf_flat.extend(c.tolist())
+                max_cnt = max(max_cnt, li_.area_count)
+            else:
+                cdf_flat.extend([0.0, 1.0])
+        infinite_meta = tuple(
+            (i, l.image, False) for i, l in enumerate(self.lights)
+            if l.kind == D.LIGHT_INFINITE)
+        dir_map_meta = tuple(
+            (i, l.image) for i, l in enumerate(self.lights)
+            if l.kind in (D.LIGHT_PROJECTION, D.LIGHT_GONIOMETRIC)
+            and l.image >= 0)
+        if nl:
+            lt_tab = D.LightTable(
+                kind=jnp.asarray([l.kind for l in self.lights], jnp.int32),
+                l2w=jnp.asarray(np.stack([l.l2w for l in self.lights])),
+                w2l=jnp.asarray(np.stack(
+                    [np.linalg.inv(l.l2w).astype(np.float32)
+                     for l in self.lights])),
+                spectrum=jnp.asarray(np.stack([l.spectrum for l in self.lights])),
+                params=jnp.asarray(np.stack([l.params for l in self.lights])),
+                nsamples=jnp.asarray([l.nsamples for l in self.lights], jnp.int32),
+                image=jnp.asarray([l.image for l in self.lights], jnp.int32),
+                area_geom_kind=jnp.asarray(
+                    [l.area_geom_kind for l in self.lights], jnp.int32),
+                area_first=jnp.asarray([l.area_first for l in self.lights], jnp.int32),
+                area_count=jnp.asarray([l.area_count for l in self.lights], jnp.int32),
+                area_total_area=jnp.asarray(
+                    [l.area_total for l in self.lights], jnp.float32),
+                cdf_offset=jnp.asarray(cdf_off, jnp.int32),
+                area_cdf=jnp.asarray(cdf_flat, jnp.float32),
+                count=nl, infinite_meta=infinite_meta,
+                dir_map_meta=dir_map_meta, max_area_count=max_cnt)
+        else:
+            z = jnp.zeros
+            lt_tab = D.LightTable(
+                kind=z((0,), jnp.int32), l2w=z((0, 4, 4)), w2l=z((0, 4, 4)),
+                spectrum=z((0, 3)), params=z((0, 8)),
+                nsamples=z((0,), jnp.int32), image=z((0,), jnp.int32),
+                area_geom_kind=z((0,), jnp.int32), area_first=z((0,), jnp.int32),
+                area_count=z((0,), jnp.int32), area_total_area=z((0,)),
+                cdf_offset=z((0,), jnp.int32), area_cdf=z((1,)),
+                count=0, infinite_meta=(), dir_map_meta=(), max_area_count=1)
+
+        # World bound.
+        los, his = [], []
+        for qd in self.quadrics:
+            r = float(np.abs(qd.params[:3]).max()) + 1e-3
+            corners = np.array([[sx, sy, sz] for sx in (-r, r)
+                                for sy in (-r, r) for sz in (-r, r)])
+            wc = corners @ qd.o2w[:3, :3].T + qd.o2w[:3, 3]
+            los.append(wc.min(0))
+            his.append(wc.max(0))
+        for m in self.meshes:
+            los.append(m.verts.min(0))
+            his.append(m.verts.max(0))
+        if los:
+            wlo = np.minimum.reduce(los).astype(np.float32)
+            whi = np.maximum.reduce(his).astype(np.float32)
+        else:
+            wlo = np.full(3, -1.0, np.float32)
+            whi = np.full(3, 1.0, np.float32)
+
+        scene = D.SceneData(
+            quadrics=q, triangles=tri, materials=materials, textures=textures,
+            images=images, lights=lt_tab, volumes=None, camera=self.camera,
+            accel=None, env_importance=None,
+            world_bound_lo=jnp.asarray(wlo), world_bound_hi=jnp.asarray(whi))
+
+        if self.accel_kind == "grid" and (nq + nt_total) > 0:
+            from ..accel.grid_build import build_grid
+            scene = scene.__class__(**{**scene.__dict__,
+                                       "accel": build_grid(self, scene)})
+        return scene

@@ -1,0 +1,225 @@
+"""The compiled scene: frozen SoA array tables.
+
+This is the TPU-native replacement for the reference's object graph
+(`Scene` owning `Primitive*`/`Light*`/`Material*` virtual hierarchies,
+/root/reference/core/scene.h:31-59). Virtual dispatch becomes integer *kind*
+tags into branchless kernels; per-object heap state becomes columns of flat
+arrays. A `SceneData` is a pytree: donate it to jit, shard it, differentiate
+through it.
+
+Conventions:
+  * every table is padded to its build-time length; count fields are static
+    Python ints so shapes are known to XLA;
+  * `-1` is the universal "no reference" id;
+  * all geometry is stored in WORLD space (transforms were applied at build
+    time except for quadrics, which keep object<->world matrices since their
+    intersection math lives in object space, mirroring
+    /root/reference/shapes/sphere.cpp:102-144).
+"""
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax.numpy as jnp
+
+from ..core.pytree import pytree_dataclass, static
+
+# --- kind tags ------------------------------------------------------------
+
+QUADRIC_SPHERE = 0
+QUADRIC_CYLINDER = 1
+QUADRIC_DISK = 2
+QUADRIC_CONE = 3
+QUADRIC_PARABOLOID = 4
+QUADRIC_HYPERBOLOID = 5
+
+LIGHT_POINT = 0
+LIGHT_SPOT = 1
+LIGHT_DISTANT = 2
+LIGHT_AREA = 3
+LIGHT_INFINITE = 4
+LIGHT_PROJECTION = 5
+LIGHT_GONIOMETRIC = 6
+
+CAMERA_PERSPECTIVE = 0
+CAMERA_ORTHOGRAPHIC = 1
+CAMERA_ENVIRONMENT = 2
+
+# Area-light geometry reference kinds.
+AREA_GEOM_QUADRIC = 0
+AREA_GEOM_TRIS = 1
+
+
+@pytree_dataclass
+class QuadricTable:
+    """All quadric shapes in one table (sphere/cylinder/disk/cone/
+    paraboloid/hyperboloid — /root/reference/shapes/*.cpp). ``params``
+    packs per-kind scalars:
+      sphere:      [radius, zmin, zmax, phimax_rad, thetamin, thetamax, 0, 0]
+      cylinder:    [radius, zmin, zmax, phimax_rad, ...]
+      disk:        [height, radius, inner_radius, phimax_rad, ...]
+      cone:        [radius, height, phimax_rad, ...]
+      paraboloid:  [radius, zmin, zmax, phimax_rad, ...]
+      hyperboloid: [p1x,p1y,p1z,p2x,p2y,p2z, phimax_rad, zmax... packed 8]
+    """
+    kind: jnp.ndarray        # i32[Q]
+    o2w: jnp.ndarray         # f32[Q,4,4]
+    w2o: jnp.ndarray         # f32[Q,4,4]
+    params: jnp.ndarray      # f32[Q,8]
+    material: jnp.ndarray    # i32[Q]
+    area_light: jnp.ndarray  # i32[Q], -1 if not emissive
+    flip_normal: jnp.ndarray # f32[Q], +-1: reverseOrientation ^ swapsHandedness
+    count: int = static(default=0)
+
+
+@pytree_dataclass
+class TriangleTable:
+    """All triangles (from meshes, subdivs, NURBS, heightfields — refined on
+    the host exactly as the reference's Refine() chain does lazily,
+    /root/reference/shapes/trianglemesh.cpp:189-197)."""
+    verts: jnp.ndarray       # f32[V,3] world space
+    idx: jnp.ndarray         # i32[T,3]
+    normals: jnp.ndarray     # f32[V,3] shading normals (zeros if none)
+    uv: jnp.ndarray          # f32[V,2]
+    tangents: jnp.ndarray    # f32[V,3] shading tangents (zeros if none)
+    has_normals: jnp.ndarray # bool[T]
+    has_tangents: jnp.ndarray# bool[T]
+    material: jnp.ndarray    # i32[T]
+    area_light: jnp.ndarray  # i32[T]
+    flip_normal: jnp.ndarray # f32[T]
+    count: int = static(default=0)
+
+
+@pytree_dataclass
+class MaterialTable:
+    """Material = kind tag + texture-slot references. Mirrors the parameter
+    surface of /root/reference/materials/*.cpp. ``tex`` holds texture node
+    ids per named slot (meaning depends on kind; see materials/factory.py)."""
+    kind: jnp.ndarray        # i32[M]
+    tex: jnp.ndarray         # i32[M, 8] texture ids per slot, -1 = unset
+    bump: jnp.ndarray        # i32[M] texture id or -1
+    count: int = static(default=0)
+
+
+# Texture graphs live in textures/graph.py (TexGraph): static node topology
+# (kinds/children/mappings are scene structure, like a model architecture)
+# plus device parameter arrays (differentiable constants, matrices).
+
+
+@pytree_dataclass
+class ImagePyramid:
+    """One mip pyramid, stored as a tuple of f32[h,w,3] levels (static
+    structure). Replaces MIPMap<Spectrum> (/root/reference/core/mipmap.h)."""
+    levels: Tuple[jnp.ndarray, ...]
+    wrap: int = static(default=0)  # 0 repeat, 1 black, 2 clamp
+
+
+@pytree_dataclass
+class LightTable:
+    """All non-area analytic lights + area lights + env lights in one table
+    (/root/reference/lights/*.cpp). ``params`` per kind:
+      point:       spectrum=I
+      spot:        spectrum=I, params=[cosTotalWidth, cosFalloffStart]
+      distant:     spectrum=L, params stores world direction in [0:3]
+      area:        spectrum=Lemit; geometry via area_* fields
+      infinite:    spectrum=L scale; env image id in params[0] (as int), -1 none
+      projection:  spectrum=I, params=[fov stuff]; image id
+      goniometric: spectrum=I; image id
+    """
+    kind: jnp.ndarray        # i32[L]
+    l2w: jnp.ndarray         # f32[L,4,4]
+    w2l: jnp.ndarray         # f32[L,4,4]
+    spectrum: jnp.ndarray    # f32[L,3]
+    params: jnp.ndarray      # f32[L,8]
+    nsamples: jnp.ndarray    # i32[L]
+    image: jnp.ndarray       # i32[L] image id (env/projection/gonio) or -1
+    # Area-light geometry: which prims emit this light.
+    area_geom_kind: jnp.ndarray   # i32[L] AREA_GEOM_*
+    area_first: jnp.ndarray       # i32[L] quadric id / first triangle id
+    area_count: jnp.ndarray       # i32[L] number of triangles (1 for quadric)
+    area_total_area: jnp.ndarray  # f32[L]
+    # Flat per-light triangle-area CDF, ragged-packed: cdf_offset[l] indexes
+    # into area_cdf; length area_count[l]+1. (ShapeSet area CDF,
+    # /root/reference/core/shape.h:112-171.)
+    cdf_offset: jnp.ndarray       # i32[L]
+    area_cdf: jnp.ndarray         # f32[sum(counts+1)]
+    count: int = static(default=0)
+    # Static roster of (light_id, image_id, importance: bool) for infinite
+    # lights — image structure is static so env lookups unroll per light.
+    infinite_meta: Tuple = static(default=())
+    # Static roster of (light_id, image_id) for projection/goniometric maps.
+    dir_map_meta: Tuple = static(default=())
+    max_area_count: int = static(default=1)
+    # Importance tables for infinite lights (lights/infinitesample.cpp) are
+    # attached per-scene in SceneData.env_importance.
+
+
+@pytree_dataclass
+class VolumeTable:
+    """Volume regions (/root/reference/volumes/*.cpp). kinds:
+    0 homogeneous, 1 exponential, 2 grid. Bounds in world space via w2v box
+    [0,1]^3; sigma/emission constant or modulated by density."""
+    kind: jnp.ndarray        # i32[R]
+    w2v: jnp.ndarray         # f32[R,4,4]  world -> unit-box volume space
+    v2w: jnp.ndarray         # f32[R,4,4]
+    bound_lo: jnp.ndarray    # f32[R,3] world AABB
+    bound_hi: jnp.ndarray    # f32[R,3]
+    sigma_a: jnp.ndarray     # f32[R,3]
+    sigma_s: jnp.ndarray     # f32[R,3]
+    le: jnp.ndarray          # f32[R,3]
+    g: jnp.ndarray           # f32[R]
+    params: jnp.ndarray      # f32[R,4]  exponential: [a, b, upx.. packed]
+    updir: jnp.ndarray       # f32[R,3]
+    density: Any = None      # tuple of f32[nz,ny,nx] grids (static structure)
+    count: int = static(default=0)
+
+
+@pytree_dataclass
+class CameraData:
+    kind: int = static(default=CAMERA_PERSPECTIVE)
+    cam2world: jnp.ndarray = None   # f32[4,4]
+    world2cam: jnp.ndarray = None
+    raster2cam: jnp.ndarray = None  # f32[4,4] (projective cameras)
+    cam2screen: jnp.ndarray = None
+    lens_radius: jnp.ndarray = None     # f32[]
+    focal_distance: jnp.ndarray = None  # f32[]
+    shutter_open: jnp.ndarray = None    # f32[]
+    shutter_close: jnp.ndarray = None   # f32[]
+    cliphither: float = static(default=1e-3)
+    clipyon: float = static(default=1e30)
+
+
+@pytree_dataclass
+class GridAccel:
+    """Uniform-grid accelerator arrays (built host-side with the reference's
+    resolution heuristic, /root/reference/accelerators/grid.cpp:146-151).
+    Primitive ids: quadric q -> q, triangle t -> NQ + t."""
+    nvoxels: Tuple[int, int, int] = static(default=(1, 1, 1))
+    bounds_lo: jnp.ndarray = None  # f32[3]
+    bounds_hi: jnp.ndarray = None  # f32[3]
+    width: jnp.ndarray = None      # f32[3] voxel width
+    inv_width: jnp.ndarray = None  # f32[3]
+    cell_start: jnp.ndarray = None # i32[nx*ny*nz+1] offsets into prim_ids
+    prim_ids: jnp.ndarray = None   # i32[P] concatenated per-voxel prim lists
+    max_per_voxel: int = static(default=0)
+
+
+@pytree_dataclass
+class SceneData:
+    quadrics: QuadricTable = None
+    triangles: TriangleTable = None
+    materials: MaterialTable = None
+    textures: Any = None            # textures.graph.TexGraph
+    images: Tuple[ImagePyramid, ...] = ()
+    lights: LightTable = None
+    volumes: VolumeTable = None
+    camera: CameraData = None
+    accel: Any = None               # GridAccel | None (brute force)
+    # Env-light importance tables (infinitesample): per env image id.
+    env_importance: Any = None
+    world_bound_lo: jnp.ndarray = None  # f32[3]
+    world_bound_hi: jnp.ndarray = None
+
+
+def num_prims(scene: SceneData) -> int:
+    return scene.quadrics.count + scene.triangles.count
