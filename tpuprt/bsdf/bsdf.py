@@ -59,9 +59,17 @@ INV_PI = jnp.float32(1.0 / jnp.pi)
 INV_TWOPI = jnp.float32(1.0 / (2.0 * jnp.pi))
 
 
+_ALL_KINDS = (0, 1, 2, 3, 4, 5, 6)
+_ALL_DISTS = (0, 1)
+
+
 @pytree_dataclass
 class LobeTable:
-    """SoA BxDF lobes for a shading wavefront of shape [..., L]."""
+    """SoA BxDF lobes for a shading wavefront of shape [..., L].
+
+    kinds_present/dist_kinds are STATIC sets of kinds that can occur — the
+    per-kind formulas below are only traced for present kinds, so a scene
+    with only diffuse+specular materials compiles a fraction of the code."""
     kind: jnp.ndarray    # i32[...,L]
     flags: jnp.ndarray   # i32[...,L] BxDFType bits
     flip: jnp.ndarray    # bool[...,L] — BRDFToBTDF wrapper
@@ -71,6 +79,19 @@ class LobeTable:
     p: jnp.ndarray       # f32[...,L,4] exponent / (A,B) / (ex,ey)
     aux0: jnp.ndarray    # i32[...,L] fresnel kind / lafortune id
     aux1: jnp.ndarray    # i32[...,L] distribution kind
+    kinds_present: tuple = static(default=None)
+    dist_kinds: tuple = static(default=None)
+
+
+def _kinds(lo) -> tuple:
+    kp = lo.kinds_present
+    return _ALL_KINDS if kp is None else kp
+
+
+def _dists(lo_or_tuple) -> tuple:
+    d = lo_or_tuple if isinstance(lo_or_tuple, (tuple, type(None))) \
+        else lo_or_tuple.dist_kinds
+    return _ALL_DISTS if not d else d
 
 
 @pytree_dataclass
@@ -126,9 +147,9 @@ def fresnel_dielectric(cosi, etai, etat):
     entering = cosi > 0.0
     ei = jnp.where(entering, etai, etat)
     et = jnp.where(entering, etat, etai)
-    sint = ei / et * jnp.sqrt(jnp.maximum(0.0, 1.0 - cosi * cosi))
+    sint = ei / et * jnp.sqrt(jnp.maximum(1e-12, 1.0 - cosi * cosi))
     tir = sint >= 1.0
-    cost = jnp.sqrt(jnp.maximum(0.0, 1.0 - sint * sint))
+    cost = jnp.sqrt(jnp.maximum(1e-12, 1.0 - sint * sint))
     f = fr_diel(jnp.abs(cosi), cost, ei, et)
     return jnp.where(tir, 1.0, f)
 
@@ -171,55 +192,73 @@ def _aniso_d(ex, ey, wh):
         jnp.power(jnp.maximum(costh, 1e-7), e)
 
 
-def _dist_d(aux1, p, wh):
+def _dist_d(aux1, p, wh, dists=_ALL_DISTS):
+    if DIST_ANISO not in dists:
+        return _blinn_d(p[..., 0], wh)
+    if DIST_BLINN not in dists:
+        return _aniso_d(p[..., 0], p[..., 1], wh)
     return jnp.where(aux1 == DIST_BLINN, _blinn_d(p[..., 0], wh),
                      _aniso_d(p[..., 0], p[..., 1], wh))
 
 
-def _dist_pdf(aux1, p, wo, wi):
+def _dist_pdf(aux1, p, wo, wi, dists=_ALL_DISTS):
     wh = vm.normalize(wo + wi)
     woh = vm.dot(wo, wh)
     costh = jnp.abs(wh[..., 2])
-    e_b = p[..., 0]
-    blinn = (e_b + 1.0) * jnp.power(jnp.maximum(costh, 1e-7), e_b) / \
-        (2.0 * jnp.pi * 4.0 * jnp.maximum(woh, 1e-7))
-    ex, ey = p[..., 0], p[..., 1]
-    ds = jnp.maximum(1.0 - costh * costh, 1e-8)
-    e_a = (ex * wh[..., 0] ** 2 + ey * wh[..., 1] ** 2) / ds
-    d_a = jnp.sqrt((ex + 1.0) * (ey + 1.0)) * INV_TWOPI * \
-        jnp.power(jnp.maximum(costh, 1e-7), e_a)
-    aniso = d_a / (4.0 * jnp.maximum(woh, 1e-7))
-    pdf = jnp.where(aux1 == DIST_BLINN, blinn, aniso)
+    if DIST_BLINN in dists:
+        e_b = p[..., 0]
+        blinn = (e_b + 1.0) * jnp.power(jnp.maximum(costh, 1e-7), e_b) / \
+            (2.0 * jnp.pi * 4.0 * jnp.maximum(woh, 1e-7))
+    if DIST_ANISO in dists:
+        ex, ey = p[..., 0], p[..., 1]
+        ds = jnp.maximum(1.0 - costh * costh, 1e-8)
+        e_a = (ex * wh[..., 0] ** 2 + ey * wh[..., 1] ** 2) / ds
+        d_a = jnp.sqrt((ex + 1.0) * (ey + 1.0)) * INV_TWOPI * \
+            jnp.power(jnp.maximum(costh, 1e-7), e_a)
+        aniso = d_a / (4.0 * jnp.maximum(woh, 1e-7))
+    if DIST_ANISO not in dists:
+        pdf = blinn
+    elif DIST_BLINN not in dists:
+        pdf = aniso
+    else:
+        pdf = jnp.where(aux1 == DIST_BLINN, blinn, aniso)
     return jnp.where(woh <= 0.0, 0.0, pdf)
 
 
-def _dist_sample_wh(aux1, p, wo, u1, u2):
+def _dist_sample_wh(aux1, p, wo, u1, u2, dists=_ALL_DISTS):
     """Sample the half-vector; returns wh (flipped into wo's hemisphere)."""
-    # Blinn (reflection.cpp:246-262)
-    e_b = p[..., 0]
-    cost_b = jnp.power(jnp.maximum(u1, 1e-12), 1.0 / (e_b + 1.0))
-    phi_b = u2 * 2.0 * jnp.pi
-    # Anisotropic first-quadrant remap (reflection.cpp:275-321)
-    ex, ey = p[..., 0], p[..., 1]
-    q = jnp.floor(u1 * 4.0)
-    u1r = jnp.where(q == 0, 4.0 * u1,
-          jnp.where(q == 1, 4.0 * (0.5 - u1),
-          jnp.where(q == 2, 4.0 * (u1 - 0.5), 4.0 * (1.0 - u1))))
-    u1r = jnp.clip(u1r, 0.0, 1.0)
-    same = jnp.abs(ex - ey) < 1e-6
-    phi_fq = jnp.where(
-        same, jnp.pi * u1r * 0.5,
-        jnp.arctan(jnp.sqrt((ex + 1.0) / (ey + 1.0)) *
-                   jnp.tan(jnp.pi * jnp.minimum(u1r, 0.999999) * 0.5)))
-    cosphi, sinphi = jnp.cos(phi_fq), jnp.sin(phi_fq)
-    cost_a = jnp.power(jnp.maximum(u2, 1e-12),
-                       1.0 / (ex * cosphi * cosphi + ey * sinphi * sinphi + 1.0))
-    phi_a = jnp.where(q == 0, phi_fq,
-            jnp.where(q == 1, jnp.pi - phi_fq,
-            jnp.where(q == 2, jnp.pi + phi_fq, 2.0 * jnp.pi - phi_fq)))
-    cost = jnp.where(aux1 == DIST_BLINN, cost_b, cost_a)
-    phi = jnp.where(aux1 == DIST_BLINN, phi_b, phi_a)
-    sint = jnp.sqrt(jnp.maximum(0.0, 1.0 - cost * cost))
+    if DIST_BLINN in dists:
+        # Blinn (reflection.cpp:246-262)
+        e_b = p[..., 0]
+        cost_b = jnp.power(jnp.maximum(u1, 1e-12), 1.0 / (e_b + 1.0))
+        phi_b = u2 * 2.0 * jnp.pi
+    if DIST_ANISO in dists:
+        # Anisotropic first-quadrant remap (reflection.cpp:275-321)
+        ex, ey = p[..., 0], p[..., 1]
+        q = jnp.floor(u1 * 4.0)
+        u1r = jnp.where(q == 0, 4.0 * u1,
+              jnp.where(q == 1, 4.0 * (0.5 - u1),
+              jnp.where(q == 2, 4.0 * (u1 - 0.5), 4.0 * (1.0 - u1))))
+        u1r = jnp.clip(u1r, 0.0, 1.0)
+        same = jnp.abs(ex - ey) < 1e-6
+        phi_fq = jnp.where(
+            same, jnp.pi * u1r * 0.5,
+            jnp.arctan(jnp.sqrt((ex + 1.0) / (ey + 1.0)) *
+                       jnp.tan(jnp.pi * jnp.minimum(u1r, 0.999999) * 0.5)))
+        cosphi, sinphi = jnp.cos(phi_fq), jnp.sin(phi_fq)
+        cost_a = jnp.power(jnp.maximum(u2, 1e-12),
+                           1.0 / (ex * cosphi * cosphi + ey * sinphi * sinphi + 1.0))
+        phi_a = jnp.where(q == 0, phi_fq,
+                jnp.where(q == 1, jnp.pi - phi_fq,
+                jnp.where(q == 2, jnp.pi + phi_fq, 2.0 * jnp.pi - phi_fq)))
+    if DIST_ANISO not in dists:
+        cost, phi = cost_b, phi_b
+    elif DIST_BLINN not in dists:
+        cost, phi = cost_a, phi_a
+    else:
+        cost = jnp.where(aux1 == DIST_BLINN, cost_b, cost_a)
+        phi = jnp.where(aux1 == DIST_BLINN, phi_b, phi_a)
+    sint = jnp.sqrt(jnp.maximum(1e-12, 1.0 - cost * cost))
     wh = vm.spherical_direction(sint, cost, phi)
     flip = (wo[..., 2] * wh[..., 2]) < 0.0
     wh = jnp.where(flip[..., None], -wh, wh)
@@ -267,62 +306,64 @@ def _lobes_f(lo: LobeTable, wo, wi):
     Specular lobes contribute 0 (delta functions)."""
     wi_l = jnp.where(lo.flip[..., None], jnp.concatenate(
         [wi[..., :2], -wi[..., 2:3]], -1), wi)
+    kinds = _kinds(lo)
+    dists = _dists(lo)
 
-    # Lambertian
-    f_lam = lo.R * INV_PI
-    # Oren-Nayar (reflection.cpp:132-156); A,B precomputed in p0,p1.
-    sin_i = jnp.sqrt(jnp.maximum(0.0, 1.0 - wi_l[..., 2] ** 2))
-    sin_o = jnp.sqrt(jnp.maximum(0.0, 1.0 - wo[..., 2] ** 2))
-    both = (sin_i > 1e-4) & (sin_o > 1e-4)
-    inv_si = 1.0 / jnp.maximum(sin_i, 1e-7)
-    inv_so = 1.0 / jnp.maximum(sin_o, 1e-7)
-    cphi_i, sphi_i = wi_l[..., 0] * inv_si, wi_l[..., 1] * inv_si
-    cphi_o, sphi_o = wo[..., 0] * inv_so, wo[..., 1] * inv_so
-    dcos = cphi_i * cphi_o + sphi_i * sphi_o
-    maxcos = jnp.where(both, jnp.maximum(0.0, dcos), 0.0)
-    ci, co = jnp.abs(wi_l[..., 2]), jnp.abs(wo[..., 2])
-    big_i = ci > co
-    sinalpha = jnp.where(big_i, sin_o, sin_i)
-    tanbeta = jnp.where(big_i, sin_i / jnp.maximum(ci, 1e-7),
-                        sin_o / jnp.maximum(co, 1e-7))
-    f_on = lo.R * INV_PI * \
-        (lo.p[..., 0] + lo.p[..., 1] * maxcos * sinalpha * tanbeta)[..., None]
-    # Microfacet (reflection.cpp:157-175)
-    wh_raw = wi_l + wo
-    wh_ok = vm.length_sq(wh_raw) > 1e-12
-    wh = vm.normalize(wh_raw)
-    costh_h = vm.dot(wi_l, wh)
-    F = _fresnel_eval(lo.aux0, lo.eta, lo.k, costh_h)
-    d_val = _dist_d(lo.aux1, lo.p, wh)
-    g_val = _microfacet_g(wo, wi_l, wh)
-    denom = 4.0 * jnp.maximum(jnp.abs(wi_l[..., 2]) * jnp.abs(wo[..., 2]), 1e-7)
-    f_mf = lo.R * F * (d_val * g_val / denom)[..., None]
-    f_mf = jnp.where(wh_ok[..., None], f_mf, 0.0)
-    # FresnelBlend (reflection.cpp:199-218): Rd=lo.R, Rs=lo.k.
-    rd, rs = lo.R, lo.k
-    pw = lambda c: 1.0 - jnp.power(1.0 - 0.5 * jnp.abs(c), 5)
-    diffuse = (28.0 / (23.0 * jnp.pi)) * rd * (1.0 - rs) * \
-        (pw(wi_l[..., 2]) * pw(wo[..., 2]))[..., None]
-    schlick = rs + jnp.power(jnp.maximum(1.0 - costh_h, 0.0), 5)[..., None] * (1.0 - rs)
-    spec = (d_val / (4.0 * jnp.maximum(vm.absdot(wi_l, wh), 1e-7) *
-                     jnp.maximum(jnp.maximum(jnp.abs(wi_l[..., 2]),
-                                             jnp.abs(wo[..., 2])), 1e-7)))[..., None] * schlick
-    f_fb = diffuse + jnp.where(wh_ok[..., None], spec, 0.0)
-    # Lafortune
-    f_laf = _lafortune_f(lo.aux0, lo.R, wo, wi_l)
-
-    zero = jnp.zeros_like(f_lam)
-    out = jnp.where((lo.kind == BX_LAMBERTIAN)[..., None], f_lam, zero)
-    out = jnp.where((lo.kind == BX_ORENNAYAR)[..., None], f_on, out)
-    out = jnp.where((lo.kind == BX_MICROFACET)[..., None], f_mf, out)
-    out = jnp.where((lo.kind == BX_FRESNELBLEND)[..., None], f_fb, out)
-    out = jnp.where((lo.kind == BX_LAFORTUNE)[..., None], f_laf, out)
-    # Hemisphere gate: f defined via wi in same hemisphere as wo for
-    # reflective lobes (pbrt relies on BSDF-level sidedness; microfacet
-    # explicitly rejects). We gate microfacet only, matching reference.
-    same_h = (wo[..., 2] * wi_l[..., 2]) > 0.0
-    mf_like = (lo.kind == BX_MICROFACET) | (lo.kind == BX_FRESNELBLEND)
-    out = jnp.where((mf_like & ~same_h)[..., None], 0.0, out)
+    zero = jnp.zeros_like(lo.R)
+    out = zero
+    if BX_LAMBERTIAN in kinds:
+        f_lam = lo.R * INV_PI
+        out = jnp.where((lo.kind == BX_LAMBERTIAN)[..., None], f_lam, out)
+    if BX_ORENNAYAR in kinds:
+        # Oren-Nayar (reflection.cpp:132-156); A,B precomputed in p0,p1.
+        sin_i = jnp.sqrt(jnp.maximum(1e-12, 1.0 - wi_l[..., 2] ** 2))
+        sin_o = jnp.sqrt(jnp.maximum(1e-12, 1.0 - wo[..., 2] ** 2))
+        both = (sin_i > 1e-4) & (sin_o > 1e-4)
+        inv_si = 1.0 / jnp.maximum(sin_i, 1e-7)
+        inv_so = 1.0 / jnp.maximum(sin_o, 1e-7)
+        cphi_i, sphi_i = wi_l[..., 0] * inv_si, wi_l[..., 1] * inv_si
+        cphi_o, sphi_o = wo[..., 0] * inv_so, wo[..., 1] * inv_so
+        dcos = cphi_i * cphi_o + sphi_i * sphi_o
+        maxcos = jnp.where(both, jnp.maximum(0.0, dcos), 0.0)
+        ci, co = jnp.abs(wi_l[..., 2]), jnp.abs(wo[..., 2])
+        big_i = ci > co
+        sinalpha = jnp.where(big_i, sin_o, sin_i)
+        tanbeta = jnp.where(big_i, sin_i / jnp.maximum(ci, 1e-7),
+                            sin_o / jnp.maximum(co, 1e-7))
+        f_on = lo.R * INV_PI * \
+            (lo.p[..., 0] + lo.p[..., 1] * maxcos * sinalpha * tanbeta)[..., None]
+        out = jnp.where((lo.kind == BX_ORENNAYAR)[..., None], f_on, out)
+    if BX_MICROFACET in kinds or BX_FRESNELBLEND in kinds:
+        wh_raw = wi_l + wo
+        wh_ok = vm.length_sq(wh_raw) > 1e-12
+        wh = vm.normalize(wh_raw)
+        costh_h = vm.dot(wi_l, wh)
+        d_val = _dist_d(lo.aux1, lo.p, wh, dists)
+        same_h = (wo[..., 2] * wi_l[..., 2]) > 0.0
+    if BX_MICROFACET in kinds:
+        # Microfacet (reflection.cpp:157-175)
+        F = _fresnel_eval(lo.aux0, lo.eta, lo.k, costh_h)
+        g_val = _microfacet_g(wo, wi_l, wh)
+        denom = 4.0 * jnp.maximum(jnp.abs(wi_l[..., 2]) * jnp.abs(wo[..., 2]), 1e-7)
+        f_mf = lo.R * F * (d_val * g_val / denom)[..., None]
+        f_mf = jnp.where((wh_ok & same_h)[..., None], f_mf, 0.0)
+        out = jnp.where((lo.kind == BX_MICROFACET)[..., None], f_mf, out)
+    if BX_FRESNELBLEND in kinds:
+        # FresnelBlend (reflection.cpp:199-218): Rd=lo.R, Rs=lo.k.
+        rd, rs = lo.R, lo.k
+        pw = lambda c: 1.0 - jnp.power(1.0 - 0.5 * jnp.abs(c), 5)
+        diffuse = (28.0 / (23.0 * jnp.pi)) * rd * (1.0 - rs) * \
+            (pw(wi_l[..., 2]) * pw(wo[..., 2]))[..., None]
+        schlick = rs + jnp.power(jnp.maximum(1.0 - costh_h, 0.0), 5)[..., None] * (1.0 - rs)
+        spec = (d_val / (4.0 * jnp.maximum(vm.absdot(wi_l, wh), 1e-7) *
+                         jnp.maximum(jnp.maximum(jnp.abs(wi_l[..., 2]),
+                                                 jnp.abs(wo[..., 2])), 1e-7)))[..., None] * schlick
+        f_fb = diffuse + jnp.where(wh_ok[..., None], spec, 0.0)
+        f_fb = jnp.where(same_h[..., None], f_fb, 0.0)
+        out = jnp.where((lo.kind == BX_FRESNELBLEND)[..., None], f_fb, out)
+    if BX_LAFORTUNE in kinds:
+        f_laf = _lafortune_f(lo.aux0, lo.R, wo, wi_l)
+        out = jnp.where((lo.kind == BX_LAFORTUNE)[..., None], f_laf, out)
     return out
 
 
@@ -330,89 +371,114 @@ def _lobes_pdf(lo: LobeTable, wo, wi):
     """pdf for every non-specular lobe. -> [...,L]."""
     wi_l = jnp.where(lo.flip[..., None], jnp.concatenate(
         [wi[..., :2], -wi[..., 2:3]], -1), wi)
+    kinds = _kinds(lo)
+    dists = _dists(lo)
     same_h = (wo[..., 2] * wi_l[..., 2]) > 0.0
-    cos_pdf = jnp.where(same_h, jnp.abs(wi_l[..., 2]) * INV_PI, 0.0)
-    mf_pdf = jnp.where(same_h, _dist_pdf(lo.aux1, lo.p, wo, wi_l), 0.0)
-    fb_pdf = jnp.where(same_h,
-                       0.5 * (jnp.abs(wi_l[..., 2]) * INV_PI +
-                              _dist_pdf(lo.aux1, lo.p, wo, wi_l)), 0.0)
-    zero = jnp.zeros_like(cos_pdf)
-    out = jnp.where((lo.kind == BX_LAMBERTIAN) | (lo.kind == BX_ORENNAYAR) |
-                    (lo.kind == BX_LAFORTUNE), cos_pdf, zero)
-    out = jnp.where(lo.kind == BX_MICROFACET, mf_pdf, out)
-    out = jnp.where(lo.kind == BX_FRESNELBLEND, fb_pdf, out)
+    out = jnp.zeros_like(lo.p[..., 0])
+    if any(k in kinds for k in (BX_LAMBERTIAN, BX_ORENNAYAR, BX_LAFORTUNE)):
+        cos_pdf = jnp.where(same_h, jnp.abs(wi_l[..., 2]) * INV_PI, 0.0)
+        out = jnp.where((lo.kind == BX_LAMBERTIAN) |
+                        (lo.kind == BX_ORENNAYAR) |
+                        (lo.kind == BX_LAFORTUNE), cos_pdf, out)
+    if BX_MICROFACET in kinds or BX_FRESNELBLEND in kinds:
+        dpdf = _dist_pdf(lo.aux1, lo.p, wo, wi_l, dists)
+    if BX_MICROFACET in kinds:
+        out = jnp.where(lo.kind == BX_MICROFACET,
+                        jnp.where(same_h, dpdf, 0.0), out)
+    if BX_FRESNELBLEND in kinds:
+        fb_pdf = jnp.where(same_h,
+                           0.5 * (jnp.abs(wi_l[..., 2]) * INV_PI + dpdf), 0.0)
+        out = jnp.where(lo.kind == BX_FRESNELBLEND, fb_pdf, out)
     return out
 
 
 def _lobe_sample(lo_kind, lo_flags, lo_flip, lo_R, lo_eta, lo_k, lo_p,
-                 lo_aux0, lo_aux1, wo, u1, u2):
+                 lo_aux0, lo_aux1, wo, u1, u2, kinds=_ALL_KINDS,
+                 dists=_ALL_DISTS):
     """Sample wi for ONE selected lobe per lane (params already gathered).
 
     Returns (wi, pdf, f_specular) where f_specular is the delta-weighted
-    value for specular kinds (others recompute f at BSDF level).
+    value for specular kinds (others recompute f at BSDF level). Only the
+    per-kind samplers for `kinds` are traced.
     """
-    # Diffuse-ish default: cosine hemisphere, flip to wo's side.
-    wi_cos = mc.cosine_sample_hemisphere(u1, u2)
-    wi_cos = jnp.where((wo[..., 2] < 0.0)[..., None],
-                       wi_cos * jnp.asarray([1.0, 1.0, -1.0]), wi_cos)
-    # Microfacet: sample wh, reflect.
-    wh = _dist_sample_wh(lo_aux1, lo_p, wo, u1, u2)
-    wi_mf = -wo + 2.0 * vm.dot(wo, wh)[..., None] * wh
-    # FresnelBlend: half cosine, half microfacet (reflection.cpp:333-347).
-    use_cos = u1 < 0.5
-    u1_fb = jnp.where(use_cos, 2.0 * u1, 2.0 * (u1 - 0.5))
-    wi_fb_cos = mc.cosine_sample_hemisphere(u1_fb, u2)
-    wi_fb_cos = jnp.where((wo[..., 2] < 0.0)[..., None],
-                          wi_fb_cos * jnp.asarray([1.0, 1.0, -1.0]), wi_fb_cos)
-    wh_fb = _dist_sample_wh(lo_aux1, lo_p, wo, u1_fb, u2)
-    wi_fb_mf = -wo + 2.0 * vm.dot(wo, wh_fb)[..., None] * wh_fb
-    wi_fb = jnp.where(use_cos[..., None], wi_fb_cos, wi_fb_mf)
-    # Specular reflection.
-    wi_sr = jnp.stack([-wo[..., 0], -wo[..., 1], wo[..., 2]], -1)
-    # Specular transmission (reflection.cpp:104-127).
-    etai_d, etat_d = lo_eta[..., 0], lo_eta[..., 1]
-    entering = wo[..., 2] > 0.0
-    ei = jnp.where(entering, etai_d, etat_d)
-    et = jnp.where(entering, etat_d, etai_d)
-    sini2 = jnp.maximum(0.0, 1.0 - wo[..., 2] ** 2)
-    eta_r = ei / jnp.maximum(et, 1e-7)
-    sint2 = eta_r * eta_r * sini2
-    tir = sint2 >= 1.0
-    cost = jnp.sqrt(jnp.maximum(0.0, 1.0 - sint2))
-    cost = jnp.where(entering, -cost, cost)
-    wi_st = jnp.stack([eta_r * -wo[..., 0], eta_r * -wo[..., 1], cost], -1)
-
+    diffuseish = any(k in kinds for k in
+                     (BX_LAMBERTIAN, BX_ORENNAYAR, BX_LAFORTUNE))
     is_sr = lo_kind == BX_SPECREFL
     is_st = lo_kind == BX_SPECTRANS
     is_mf = lo_kind == BX_MICROFACET
     is_fb = lo_kind == BX_FRESNELBLEND
-    wi = jnp.where(is_sr[..., None], wi_sr,
-         jnp.where(is_st[..., None], wi_st,
-         jnp.where(is_mf[..., None], wi_mf,
-         jnp.where(is_fb[..., None], wi_fb, wi_cos))))
+
+    wi = jnp.zeros_like(wo)
+    if diffuseish:
+        # Cosine hemisphere, flip to wo's side (reflection.cpp:219-230).
+        wi_cos = mc.cosine_sample_hemisphere(u1, u2)
+        wi_cos = jnp.where((wo[..., 2] < 0.0)[..., None],
+                           wi_cos * jnp.asarray([1.0, 1.0, -1.0]), wi_cos)
+        wi = wi_cos
+    if BX_MICROFACET in kinds:
+        wh = _dist_sample_wh(lo_aux1, lo_p, wo, u1, u2, dists)
+        wi_mf = -wo + 2.0 * vm.dot(wo, wh)[..., None] * wh
+        wi = jnp.where(is_mf[..., None], wi_mf, wi)
+    if BX_FRESNELBLEND in kinds:
+        # Half cosine, half microfacet (reflection.cpp:333-347).
+        use_cos = u1 < 0.5
+        u1_fb = jnp.where(use_cos, 2.0 * u1, 2.0 * (u1 - 0.5))
+        wi_fb_cos = mc.cosine_sample_hemisphere(u1_fb, u2)
+        wi_fb_cos = jnp.where((wo[..., 2] < 0.0)[..., None],
+                              wi_fb_cos * jnp.asarray([1.0, 1.0, -1.0]),
+                              wi_fb_cos)
+        wh_fb = _dist_sample_wh(lo_aux1, lo_p, wo, u1_fb, u2, dists)
+        wi_fb_mf = -wo + 2.0 * vm.dot(wo, wh_fb)[..., None] * wh_fb
+        wi_fb = jnp.where(use_cos[..., None], wi_fb_cos, wi_fb_mf)
+        wi = jnp.where(is_fb[..., None], wi_fb, wi)
+    if BX_SPECREFL in kinds:
+        wi_sr = jnp.stack([-wo[..., 0], -wo[..., 1], wo[..., 2]], -1)
+        wi = jnp.where(is_sr[..., None], wi_sr, wi)
+    etai_d, etat_d = lo_eta[..., 0], lo_eta[..., 1]
+    entering = wo[..., 2] > 0.0
+    ei = jnp.where(entering, etai_d, etat_d)
+    et = jnp.where(entering, etat_d, etai_d)
+    tir = jnp.zeros(wo.shape[:-1], bool)
+    if BX_SPECTRANS in kinds:
+        # Specular transmission (reflection.cpp:104-127).
+        sini2 = jnp.maximum(0.0, 1.0 - wo[..., 2] ** 2)
+        eta_r = ei / jnp.maximum(et, 1e-7)
+        sint2 = eta_r * eta_r * sini2
+        tir = sint2 >= 1.0
+        cost = jnp.sqrt(jnp.maximum(1e-12, 1.0 - sint2))
+        cost = jnp.where(entering, -cost, cost)
+        wi_st = jnp.stack([eta_r * -wo[..., 0], eta_r * -wo[..., 1], cost], -1)
+        wi = jnp.where(is_st[..., None], wi_st, wi)
 
     # pdfs
-    pdf_cos = jnp.abs(wi[..., 2]) * INV_PI
-    pdf_mf = _dist_pdf(lo_aux1, lo_p, wo, wi)
-    pdf_fb = 0.5 * (jnp.abs(wi[..., 2]) * INV_PI + _dist_pdf(lo_aux1, lo_p, wo, wi))
-    pdf = jnp.where(is_sr | is_st, 1.0,
-          jnp.where(is_mf, pdf_mf,
-          jnp.where(is_fb, pdf_fb, pdf_cos)))
-    # Microfacet: reject wrong hemisphere (f will be 0; set pdf 0).
+    pdf = jnp.zeros(wo.shape[:-1], jnp.float32)
+    if diffuseish:
+        pdf = jnp.abs(wi[..., 2]) * INV_PI
+    if BX_MICROFACET in kinds or BX_FRESNELBLEND in kinds:
+        dpdf = _dist_pdf(lo_aux1, lo_p, wo, wi, dists)
+        if BX_MICROFACET in kinds:
+            pdf = jnp.where(is_mf, dpdf, pdf)
+        if BX_FRESNELBLEND in kinds:
+            pdf = jnp.where(is_fb,
+                            0.5 * (jnp.abs(wi[..., 2]) * INV_PI + dpdf), pdf)
+    pdf = jnp.where(is_sr | is_st, 1.0, pdf)
     same_h = (wo[..., 2] * wi[..., 2]) > 0.0
     pdf = jnp.where((is_mf | is_fb) & ~same_h, 0.0, pdf)
     pdf = jnp.where(is_st & tir, 0.0, pdf)
 
     # Specular f values (delta-weighted).
+    f_spec = jnp.zeros_like(lo_R)
     abs_ci = jnp.maximum(jnp.abs(wi[..., 2]), 1e-7)
-    F_sr = _fresnel_eval(lo_aux0, lo_eta, lo_k, wo[..., 2])
-    f_sr = F_sr * lo_R / abs_ci[..., None]
-    F_st = fresnel_dielectric(wo[..., 2], etai_d, etat_d)
-    f_st = ((et * et) / jnp.maximum(ei * ei, 1e-12) *
-            (1.0 - F_st) / abs_ci)[..., None] * lo_R
-    f_st = jnp.where(tir[..., None], 0.0, f_st)
-    f_spec = jnp.where(is_sr[..., None], f_sr,
-             jnp.where(is_st[..., None], f_st, 0.0))
+    if BX_SPECREFL in kinds:
+        F_sr = _fresnel_eval(lo_aux0, lo_eta, lo_k, wo[..., 2])
+        f_sr = F_sr * lo_R / abs_ci[..., None]
+        f_spec = jnp.where(is_sr[..., None], f_sr, f_spec)
+    if BX_SPECTRANS in kinds:
+        F_st = fresnel_dielectric(wo[..., 2], etai_d, etat_d)
+        f_st = ((et * et) / jnp.maximum(ei * ei, 1e-12) *
+                (1.0 - F_st) / abs_ci)[..., None] * lo_R
+        f_st = jnp.where(tir[..., None], 0.0, f_st)
+        f_spec = jnp.where(is_st[..., None], f_st, f_spec)
 
     # BRDFToBTDF wrapper: flip the returned wi.
     wi = jnp.where(lo_flip[..., None],
@@ -486,7 +552,7 @@ def sample_f(b: BsdfBatch, wo_w, u1, u2, u3, mask=ALL):
     wi_l, pdf_sel, f_spec = _lobe_sample(
         gath(lo.kind), gath(lo.flags), gath(lo.flip), gath(lo.R),
         gath(lo.eta), gath(lo.k), gath(lo.p), gath(lo.aux0), gath(lo.aux1),
-        wo, u1, u2)
+        wo, u1, u2, _kinds(lo), _dists(lo))
     sampled_flags = gath(lo.flags)
     is_spec = jnp.bitwise_and(sampled_flags, SPECULAR) > 0
 

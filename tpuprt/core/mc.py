@@ -21,7 +21,7 @@ INV_TWOPI = jnp.float32(1.0 / (2.0 * jnp.pi))
 def uniform_sample_hemisphere(u1, u2):
     """core/mc.cpp:54-63 — z = u1, uniform in phi."""
     z = u1
-    r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    r = jnp.sqrt(jnp.maximum(1e-12, 1.0 - z * z))
     phi = 2.0 * jnp.pi * u2
     return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
 
@@ -33,7 +33,7 @@ def uniform_hemisphere_pdf():
 def uniform_sample_sphere(u1, u2):
     """core/mc.cpp:68-77."""
     z = 1.0 - 2.0 * u1
-    r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    r = jnp.sqrt(jnp.maximum(1e-12, 1.0 - z * z))
     phi = 2.0 * jnp.pi * u2
     return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
 
@@ -72,7 +72,7 @@ def concentric_sample_disk(u1, u2):
 def cosine_sample_hemisphere(u1, u2):
     """core/mc.h:38-44 — concentric disk + project up."""
     x, y = concentric_sample_disk(u1, u2)
-    z = jnp.sqrt(jnp.maximum(0.0, 1.0 - x * x - y * y))
+    z = jnp.sqrt(jnp.maximum(1e-12, 1.0 - x * x - y * y))
     return jnp.stack([x, y, z], axis=-1)
 
 
@@ -83,7 +83,7 @@ def cosine_hemisphere_pdf(costheta):
 def uniform_sample_cone(u1, u2, costhetamax):
     """core/mc.cpp:140-149 — uniform in the cone around +z."""
     costheta = vm.lerp(u1, 1.0, costhetamax)
-    sintheta = jnp.sqrt(jnp.maximum(0.0, 1.0 - costheta * costheta))
+    sintheta = jnp.sqrt(jnp.maximum(1e-12, 1.0 - costheta * costheta))
     phi = u2 * 2.0 * jnp.pi
     return jnp.stack(
         [jnp.cos(phi) * sintheta, jnp.sin(phi) * sintheta, costheta], axis=-1
@@ -93,7 +93,7 @@ def uniform_sample_cone(u1, u2, costhetamax):
 def uniform_sample_cone_frame(u1, u2, costhetamax, x, y, z):
     """core/mc.cpp:150-158 — cone sample in an explicit frame."""
     costheta = vm.lerp(u1, 1.0, costhetamax)
-    sintheta = jnp.sqrt(jnp.maximum(0.0, 1.0 - costheta * costheta))
+    sintheta = jnp.sqrt(jnp.maximum(1e-12, 1.0 - costheta * costheta))
     phi = u2 * 2.0 * jnp.pi
     return (jnp.cos(phi) * sintheta)[..., None] * x + \
            (jnp.sin(phi) * sintheta)[..., None] * y + costheta[..., None] * z
@@ -118,7 +118,7 @@ def sample_hg(w, g, u1, u2):
     sqr = (1.0 - g_safe * g_safe) / (1.0 - g_safe + 2.0 * g_safe * u1)
     cost_hg = (1.0 + g_safe * g_safe - sqr * sqr) / (2.0 * g_safe)
     costheta = jnp.where(iso, cost_iso, cost_hg)
-    sintheta = jnp.sqrt(jnp.maximum(0.0, 1.0 - costheta * costheta))
+    sintheta = jnp.sqrt(jnp.maximum(1e-12, 1.0 - costheta * costheta))
     phi = 2.0 * jnp.pi * u2
     _, v1, v2 = vm.coordinate_system(w)
     return vm.spherical_direction_frame(sintheta, costheta, phi, v1, v2, w)

@@ -97,7 +97,7 @@ def spherical_direction_frame(sintheta, costheta, phi, x, y, z):
 
 def spherical_theta(v):
     """SphericalTheta (reference core/geometry.h:381-390)."""
-    return jnp.arccos(jnp.clip(v[..., 2], -1.0, 1.0))
+    return jnp.arccos(jnp.clip(v[..., 2], -1.0 + 1e-7, 1.0 - 1e-7))
 
 
 def spherical_phi(v):
@@ -114,7 +114,9 @@ def quadratic(a, b, c):
     """
     disc = b * b - 4.0 * a * c
     ok = disc > 0.0
-    root = jnp.sqrt(jnp.maximum(disc, 0.0))
+    # Guarded sqrt: sqrt(0) has a NaN-producing VJP (0 * inf) even on lanes
+    # masked by `ok`, which poisons gradients of unrelated parameters.
+    root = jnp.sqrt(jnp.where(ok, disc, 1.0))
     q = jnp.where(b < 0.0, -0.5 * (b - root), -0.5 * (b + root))
     # Guard divisions; invalid lanes are masked by `ok` downstream.
     safe = lambda n, d: n / jnp.where(jnp.abs(d) < 1e-30, 1e-30, d)

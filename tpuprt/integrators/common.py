@@ -59,6 +59,13 @@ def estimate_direct(scene: SceneData, light_id, p, n, wo, bsdf: B.BsdfBatch,
     # Lanes not needing visibility must not pay for a miss: occluded() runs
     # for the whole wavefront anyway (masked architecture).
     unocc = need_vis & ~occ
+    # Shadow-segment transmittance (transport.cpp:160 visibility
+    # .Transmittance).
+    if scene.volumes is not None and scene.volumes.count > 0:
+        from ..volumes import regions as vr
+        Li = Li * vr.transmittance(scene.volumes, p, wi,
+                                   jnp.full(light_pdf.shape, _EPS),
+                                   smp["vis_maxt"], ls3)
     bsdf_pdf = B.pdf(bsdf, wo, wi, B.ALL & ~B.SPECULAR)
     w_mis = jnp.where(smp["delta"], 1.0,
                       mc.power_heuristic(1.0, light_pdf, 1.0, bsdf_pdf))

@@ -1,4 +1,4 @@
-"""Whitted integrator as an iterative wavefront.
+"""Whitted integrator as a wavefront loop compiled once per depth (scan).
 
 TPU-native replacement for /root/reference/integrators/whitted.cpp:44-140.
 The reference recurses into BOTH specular reflection and transmission; a
@@ -11,6 +11,7 @@ single samples and no MIS, matching whitted.cpp:74-81.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..accel import intersect as isect
@@ -27,28 +28,23 @@ _EPS = vm.RAY_EPSILON
 def li(scene: SceneData, o, d, mint, maxt, cfg: smp.SamplerConfig,
        px, py, s_idx, max_depth: int = 5, seed: int = 0):
     n_rays = o.shape[0]
-    L = jnp.zeros((n_rays, 3), jnp.float32)
-    throughput = jnp.ones((n_rays, 3), jnp.float32)
-    alive = jnp.ones((n_rays,), bool)
-    alpha = jnp.zeros((n_rays,), jnp.float32)
     ph = rng.hash_u32(px, py, seed, 0x817)
+    has_inf = bool(scene.lights.infinite_meta)
 
-    ro, rd = o, d
-    rmint, rmaxt = mint, maxt
+    def body(carry, depth):
+        ro, rd, rmint, rmaxt, throughput, L, alive, alpha = carry
+        first = depth == 0
 
-    for depth in range(max_depth + 1):
         t, pid, hit = isect.intersect_ids(scene, ro, rd, rmint, rmaxt)
 
         # Miss: sum of light Le along the ray (whitted.cpp:52-58).
-        esc = ~hit & alive
-        if scene.lights.infinite_meta:
+        if has_inf:
+            esc = ~hit & alive
             Lesc = lt.le_escaped(scene, rd)
             L = L + jnp.where(esc[..., None], throughput * Lesc, 0.0)
-            if depth == 0:
-                alpha = jnp.where(esc & jnp.any(Lesc > 0, -1), 1.0, alpha)
+            alpha = jnp.where(esc & first & jnp.any(Lesc > 0, -1), 1.0, alpha)
         alive = alive & hit
-        if depth == 0:
-            alpha = jnp.where(hit, 1.0, alpha)
+        alpha = jnp.where(first & hit, 1.0, alpha)
 
         dg = isect.hit_geometry(scene, pid, ro, rd, t)
         # Area-light emission at the hit (whitted.cpp:69).
@@ -60,8 +56,7 @@ def li(scene: SceneData, o, d, mint, maxt, cfg: smp.SamplerConfig,
         wo = -rd
 
         # Direct lighting: every light, single sample, NO MIS
-        # (whitted.cpp:74-81: f * Li * |wi.n| with the deprecated Sample_L
-        # which folds the pdf into the returned radiance).
+        # (whitted.cpp:74-81; the deprecated Sample_L folds pdf into Li).
         for i in range(scene.lights.count):
             lid = jnp.full((n_rays,), i, jnp.int32)
             ls1 = rng.uniform(ph, s_idx, depth, i, 1)
@@ -75,12 +70,10 @@ def li(scene: SceneData, o, d, mint, maxt, cfg: smp.SamplerConfig,
             occ = isect.occluded(scene, p, sm["wi"],
                                  jnp.full((n_rays,), _EPS), sm["vis_maxt"])
             contrib = f_val * sm["Li"] * \
-                (vm.absdot(sm["wi"], ns) / jnp.maximum(sm["pdf"], 1e-20))[..., None]
+                (vm.absdot(sm["wi"], ns) /
+                 jnp.maximum(sm["pdf"], 1e-20))[..., None]
             L = L + jnp.where((need & ~occ)[..., None],
                               throughput * contrib, 0.0)
-
-        if depth == max_depth:
-            break
 
         # Specular continuation: stochastic pick among specular components
         # (replaces the two-way recursion whitted.cpp:82-136).
@@ -90,14 +83,24 @@ def li(scene: SceneData, o, d, mint, maxt, cfg: smp.SamplerConfig,
         bs = B.sample_f(bsdf, wo, u1, u2, u3,
                         B.SPECULAR | B.REFLECTION | B.TRANSMISSION)
         cont = alive & bs["valid"] & (bs["pdf"] > 0.0) & \
-            ~jnp.all(bs["f"] == 0.0, axis=-1)
+            ~jnp.all(bs["f"] == 0.0, axis=-1) & (depth < max_depth)
         scale = bs["f"] * (vm.absdot(bs["wi"], ns) /
                            jnp.maximum(bs["pdf"], 1e-20))[..., None]
-        throughput = jnp.where(cont[..., None], throughput * scale, throughput)
+        throughput = jnp.where(cont[..., None], throughput * scale,
+                               throughput)
         alive = cont
         ro = p
         rd = bs["wi"]
-        rmint = jnp.full((n_rays,), _EPS, jnp.float32)
-        rmaxt = jnp.full((n_rays,), 1e30, jnp.float32)
+        rmint = rmint * 0.0 + _EPS
+        rmaxt = rmaxt * 0.0 + 1e30
+        return (ro, rd, rmint, rmaxt, throughput, L, alive, alpha), None
 
-    return L, alpha
+    # Carry state derived from the (possibly shard_map-varying) ray inputs
+    # so lax.scan sees consistent varying axes on every component.
+    init = (o, d, mint + d[..., 0] * 0.0, maxt + d[..., 0] * 0.0,
+            jnp.ones_like(o),
+            jnp.zeros_like(o),
+            d[..., 0] * 0.0 == 0.0,
+            d[..., 0] * 0.0)
+    carry, _ = jax.lax.scan(body, init, jnp.arange(max_depth + 1))
+    return carry[5], carry[7]

@@ -143,7 +143,8 @@ def _sample_area_tris(scene: SceneData, light_id, p, u1, u2, u3):
     # Binary search the packed CDF segment [off, off+cnt] for u3.
     lo = jnp.zeros_like(off)
     hi = jnp.maximum(cnt - 1, 0)
-    steps = max(1, int(jnp.ceil(jnp.log2(max(scene.lights.max_area_count, 2)))) + 1)
+    import math
+    steps = max(1, int(math.ceil(math.log2(max(scene.lights.max_area_count, 2)))) + 1)
     for _ in range(steps):
         mid = (lo + hi) // 2
         cdf_mid = scene.lights.area_cdf[off + mid + 1]
@@ -167,86 +168,110 @@ def sample(scene: SceneData, light_id, p, n, u1, u2, u3):
     I = g(lights.spectrum)
     l2w = g(lights.l2w)
     light_pos = l2w[..., :3, 3]
+    kp = lights.kinds_present or (0, 1, 2, 3, 4, 5, 6)
+    has_delta_pos = any(k in kp for k in (LIGHT_POINT, LIGHT_SPOT,
+                                          LIGHT_PROJECTION,
+                                          LIGHT_GONIOMETRIC))
+    zeros3 = jnp.zeros(p.shape[:-1] + (3,), jnp.float32)
+    zeros1 = jnp.zeros(p.shape[:-1], jnp.float32)
 
     # --- delta position lights: point/spot/projection/goniometric ---
-    to_l = light_pos - p
-    d2 = jnp.maximum(vm.length_sq(to_l), 1e-12)
-    wi_pt = to_l * jax_rsqrt(d2)[..., None]
-    Li_pt = I / d2[..., None]
-    # Direction-dependent factor for spot/projection/gonio.
-    fac = _projection_factor(scene, light_id, -wi_pt)
-    Li_pt = Li_pt * jnp.where(((kind == LIGHT_SPOT) |
-                               (kind == LIGHT_PROJECTION) |
-                               (kind == LIGHT_GONIOMETRIC))[..., None],
-                              fac, 1.0)
+    if has_delta_pos:
+        to_l = light_pos - p
+        d2 = jnp.maximum(vm.length_sq(to_l), 1e-12)
+        wi_pt = to_l * jax_rsqrt(d2)[..., None]
+        Li_pt = I / d2[..., None]
+        if any(k in kp for k in (LIGHT_SPOT, LIGHT_PROJECTION,
+                                 LIGHT_GONIOMETRIC)):
+            # Direction-dependent factor for spot/projection/gonio.
+            fac = _projection_factor(scene, light_id, -wi_pt)
+            Li_pt = Li_pt * jnp.where(((kind == LIGHT_SPOT) |
+                                       (kind == LIGHT_PROJECTION) |
+                                       (kind == LIGHT_GONIOMETRIC))[..., None],
+                                      fac, 1.0)
+    else:
+        wi_pt, Li_pt = zeros3, zeros3
 
     # --- distant: wi stored world dir in params[0:3] ---
     wi_dist = g(lights.params)[..., 0:3]
     Li_dist = I
 
     # --- area ---
-    is_quad_geom = g(lights.area_geom_kind) == AREA_GEOM_QUADRIC
-    # Sphere cone sampling (shapes/sphere.cpp:45-79).
-    qid = jnp.clip(g(lights.area_first), 0,
-                   max(scene.quadrics.count - 1, 0))
-    q_o2w = scene.quadrics.o2w[qid]
-    center = q_o2w[..., :3, 3]
-    radius = scene.quadrics.params[qid][..., 0]
-    to_c = center - p
-    dc2 = jnp.maximum(vm.length_sq(to_c), 1e-12)
-    inside = dc2 - radius * radius < 1e-4
-    wc = to_c * jax_rsqrt(dc2)[..., None]
-    _, wcx, wcy = vm.coordinate_system(wc)
-    cos_max = jnp.sqrt(jnp.maximum(0.0, 1.0 - radius * radius / dc2))
-    dir_cone = mc.uniform_sample_cone_frame(u1, u2, cos_max, wcx, wcy, wc)
-    # Project the cone ray onto the sphere (reference intersects; closed form)
-    b = vm.dot(dir_cone, to_c)
-    disc = b * b - (dc2 - radius * radius)
-    thit = b - jnp.sqrt(jnp.maximum(disc, 0.0))
-    thit = jnp.where(disc > 0, thit, vm.dot(to_c, dir_cone))
-    ps_sph = p + thit[..., None] * dir_cone
-    ns_sph = vm.normalize(ps_sph - center)
-    # Inside: uniform over sphere.
-    sph_dir = mc.uniform_sample_sphere(u1, u2)
-    ps_in = center + radius[..., None] * sph_dir
-    ns_in = sph_dir
-    ps_q = jnp.where(inside[..., None], ps_in, ps_sph)
-    ns_q = jnp.where(inside[..., None], ns_in, ns_sph)
-    flipq = scene.quadrics.flip_normal[qid]
-    ns_q = ns_q * flipq[..., None]
-    pdf_q = jnp.where(
-        inside,
-        # uniform-area pdf converted below via the generic path
-        1.0 / jnp.maximum(g(lights.area_total_area), 1e-12),
-        mc.uniform_cone_pdf(cos_max))
+    if LIGHT_AREA in kp:
+        is_quad_geom = g(lights.area_geom_kind) == AREA_GEOM_QUADRIC
+        # Sphere cone sampling (shapes/sphere.cpp:45-79).
+        qid = jnp.clip(g(lights.area_first), 0,
+                       max(scene.quadrics.count - 1, 0))
+        q_o2w = scene.quadrics.o2w[qid]
+        center = q_o2w[..., :3, 3]
+        radius = scene.quadrics.params[qid][..., 0]
+        to_c = center - p
+        dc2 = jnp.maximum(vm.length_sq(to_c), 1e-12)
+        inside = dc2 - radius * radius < 1e-4
+        wc = to_c * jax_rsqrt(dc2)[..., None]
+        _, wcx, wcy = vm.coordinate_system(wc)
+        cos_max = jnp.sqrt(jnp.maximum(1e-12, 1.0 - radius * radius / dc2))
+        dir_cone = mc.uniform_sample_cone_frame(u1, u2, cos_max, wcx, wcy, wc)
+        # Project the cone ray onto the sphere (reference intersects;
+        # closed form here).
+        b = vm.dot(dir_cone, to_c)
+        disc = b * b - (dc2 - radius * radius)
+        thit = b - jnp.sqrt(jnp.maximum(disc, 0.0))
+        thit = jnp.where(disc > 0, thit, vm.dot(to_c, dir_cone))
+        ps_sph = p + thit[..., None] * dir_cone
+        ns_sph = vm.normalize(ps_sph - center)
+        # Inside: uniform over sphere (sphere.cpp:53-55).
+        sph_dir = mc.uniform_sample_sphere(u1, u2)
+        ps_in = center + radius[..., None] * sph_dir
+        ns_in = sph_dir
+        ps_q = jnp.where(inside[..., None], ps_in, ps_sph)
+        ns_q = jnp.where(inside[..., None], ns_in, ns_sph)
+        flipq = scene.quadrics.flip_normal[qid]
+        ns_q = ns_q * flipq[..., None]
+        pdf_q = jnp.where(
+            inside,
+            # uniform-area pdf converted below via the generic path
+            1.0 / jnp.maximum(g(lights.area_total_area), 1e-12),
+            mc.uniform_cone_pdf(cos_max))
 
-    # Triangles.
-    if scene.triangles.count > 0:
-        ps_t, ns_t = _sample_area_tris(scene, light_id, p, u1, u2, u3)
+        # Triangles.
+        if scene.triangles.count > 0:
+            ps_t, ns_t = _sample_area_tris(scene, light_id, p, u1, u2, u3)
+        else:
+            ps_t, ns_t = ps_q, ns_q
+        ps_a = jnp.where(is_quad_geom[..., None], ps_q, ps_t)
+        ns_a = jnp.where(is_quad_geom[..., None], ns_q, ns_t)
+        to_s = ps_a - p
+        ds2 = jnp.maximum(vm.length_sq(to_s), 1e-12)
+        wi_area = to_s * jax_rsqrt(ds2)[..., None]
+        cos_l = vm.absdot(ns_a, wi_area)
+        # Solid-angle pdf (core/shape.h:96-107): dist^2/(|cos| * area).
+        pdf_area_sa = ds2 / jnp.maximum(cos_l * g(lights.area_total_area),
+                                        1e-12)
+        pdf_area = jnp.where(is_quad_geom & ~inside, pdf_q, pdf_area_sa)
+        # One-sided emission L(p,n,w) (core/light.h:88-116).
+        emits = vm.dot(ns_a, -wi_area) > 0.0
+        Li_area = jnp.where(emits[..., None], I, 0.0)
     else:
-        ps_t, ns_t = ps_q, ns_q
-    ps_a = jnp.where(is_quad_geom[..., None], ps_q, ps_t)
-    ns_a = jnp.where(is_quad_geom[..., None], ns_q, ns_t)
-    to_s = ps_a - p
-    ds2 = jnp.maximum(vm.length_sq(to_s), 1e-12)
-    wi_area = to_s * jax_rsqrt(ds2)[..., None]
-    cos_l = vm.absdot(ns_a, wi_area)
-    # Solid-angle pdf (core/shape.h:96-107): dist^2/(|cos| * area).
-    pdf_area_sa = ds2 / jnp.maximum(cos_l * g(lights.area_total_area), 1e-12)
-    pdf_area = jnp.where(is_quad_geom & ~inside, pdf_q, pdf_area_sa)
-    # One-sided emission L(p,n,w) (core/light.h:88-116).
-    emits = vm.dot(ns_a, -wi_area) > 0.0
-    Li_area = jnp.where(emits[..., None], I, 0.0)
+        wi_area = zeros3
+        Li_area = zeros3
+        pdf_area = zeros1
+        ps_a = p
 
     # --- infinite: cosine about n, hemisphere flip by u3 ---
-    x, y = mc.concentric_sample_disk(u1, u2)
-    z = jnp.sqrt(jnp.maximum(0.0, 1.0 - x * x - y * y))
-    z = jnp.where(u3 < 0.5, -z, z)
-    nf = vm.normalize(n)
-    _, v1, v2 = vm.coordinate_system(nf)
-    wi_inf = x[..., None] * v1 + y[..., None] * v2 + z[..., None] * nf
-    pdf_inf = jnp.abs(z) * mc.INV_TWOPI
-    Li_inf = _env_lookup(scene, light_id, wi_inf)
+    if LIGHT_INFINITE in kp:
+        x, y = mc.concentric_sample_disk(u1, u2)
+        z = jnp.sqrt(jnp.maximum(1e-12, 1.0 - x * x - y * y))
+        z = jnp.where(u3 < 0.5, -z, z)
+        nf = vm.normalize(n)
+        _, v1, v2 = vm.coordinate_system(nf)
+        wi_inf = x[..., None] * v1 + y[..., None] * v2 + z[..., None] * nf
+        pdf_inf = jnp.abs(z) * mc.INV_TWOPI
+        Li_inf = _env_lookup(scene, light_id, wi_inf)
+    else:
+        wi_inf = zeros3
+        Li_inf = zeros3
+        pdf_inf = zeros1
 
     # --- select by kind ---
     delta = is_delta(kind)
@@ -288,7 +313,7 @@ def pdf(scene: SceneData, light_id, p, n, wi):
     center = scene.quadrics.o2w[qid][..., :3, 3]
     radius = scene.quadrics.params[qid][..., 0]
     dc2 = jnp.maximum(vm.length_sq(center - p), 1e-12)
-    cos_max = jnp.sqrt(jnp.maximum(0.0, 1.0 - radius * radius / dc2))
+    cos_max = jnp.sqrt(jnp.maximum(1e-12, 1.0 - radius * radius / dc2))
     is_sphere = (kind == LIGHT_AREA) & (g(lights.area_geom_kind) == AREA_GEOM_QUADRIC)
     out = jnp.where(is_sphere, mc.uniform_cone_pdf(cos_max), out)
     return out

@@ -1,30 +1,38 @@
-"""Material -> BSDF lobe assembly, branchless over a shading wavefront.
+"""Material -> BSDF lobe assembly via build-time templates.
 
 TPU-native replacement for the per-material GetBSDF constructors
-(/root/reference/materials/*.cpp). Each lane gathers its material's texture
-slot values (already evaluated by textures/graph.eval_graph) and fills up to
-MAX_LOBES lobe-table rows; per-kind recipes are evaluated masked. A lobe
-whose scale is exactly black is disabled (kind/flags cleared) — matching the
-reference's "if (!k.Black()) bsdf->Add(...)" pattern so component counts and
-mixture pdfs agree.
+(/root/reference/materials/*.cpp). A material's lobe *structure* (which
+BxDFs, which Fresnel, how parameters derive from texture slots) depends only
+on its kind — known at scene build. `build_templates` compiles it into
+[M, L] op-code columns on the host; `make_lobes` then assembles a shading
+wavefront's LobeTable with a single gather per column plus a handful of
+selects, keeping the traced graph small (this is the hot path of every
+bounce).
 
 Slot conventions (MaterialTable.tex columns):
-  matte:       0=Kd 1=sigma
-  plastic:     0=Kd 1=Ks 2=roughness
-  glass:       0=Kr 1=Kt 2=index
-  mirror:      0=Kr
-  shinymetal:  0=Ks 1=Kr 2=roughness
-  substrate:   0=Kd 1=Ks 2=uroughness 3=vroughness
-  translucent: 0=Kd 1=Ks 2=roughness 3=reflect 4=transmit
-  uber:        0=Kd 1=Ks 2=Kr 3=roughness 4=opacity
-  measured:    (no slots; kind encodes which measurement)
+  matte:       0=Kd 1=sigma                        (matte.cpp:46-64;
+               sigma==0 reduces Oren-Nayar to exact Lambertian, A=1,B=0)
+  plastic:     0=Kd 1=Ks 2=roughness               (plastic.cpp:46-68)
+  glass:       0=Kr 1=Kt 2=index                   (glass.cpp:46-63)
+  mirror:      0=Kr                                (mirror.cpp)
+  shinymetal:  0=Ks 1=Kr 2=roughness               (shinymetal.cpp:45-66)
+  substrate:   0=Kd 1=Ks 2=uroughness 3=vroughness (substrate.cpp:47-63)
+  translucent: 0=Kd 1=Ks 2=roughness 3=reflect 4=transmit (translucent.cpp)
+  uber:        0=Kd 1=Ks 2=Kr 3=roughness 4=opacity (uber.cpp:52-88)
+  measured:    none (kind encodes which measurement)
+
+A lobe whose evaluated scale is exactly black is disabled at shading time,
+matching the reference's conditional bsdf->Add() so component counts and
+mixture pdfs agree.
 """
 from __future__ import annotations
 
+from typing import List, Tuple
+
+import numpy as np
 import jax.numpy as jnp
 
 from ..bsdf import bsdf as B
-from ..scene.data import MaterialTable
 
 MAT_MATTE = 0
 MAT_PLASTIC = 1
@@ -56,158 +64,201 @@ _FL_SPEC_T = B.TRANSMISSION | B.SPECULAR
 _FL_DIFF_T = B.TRANSMISSION | B.DIFFUSE
 _FL_GLOS_T = B.TRANSMISSION | B.GLOSSY
 
+# R op codes: how the lobe scale derives from slot values a, b.
+R_NONE = 0          # lobe absent
+R_ONE = 1           # 1
+R_SLOT = 2          # clamp01(slot a)
+R_PROD = 3          # clamp01(slot a) * clamp01(slot b)
+R_ONE_MINUS = 4     # 1 - clamp01(slot a)
+R_MEASURED = 5      # measured diffuse table row aux0
 
-def make_lobes(materials: MaterialTable, mat_id, tex_vals) -> B.LobeTable:
-    """Build the lobe table for a wavefront.
+# eta/k op codes.
+E_NONE = 0          # eta = (1,1,1), k = 0
+E_DIEL_15 = 1       # FresnelDielectric(1.5, 1)
+E_DIEL_IDX = 2      # FresnelDielectric(1, slot a float)  (glass)
+E_APPROX = 3        # FresnelConductor(FresnelApproxEta(slot a), 0)
+E_KS = 4            # k = clamp01(slot a)  (FresnelBlend Rs)
+E_PASS = 5          # FresnelDielectric(1, 1)  (uber opacity passthrough)
 
-    mat_id: i32[N]; tex_vals: f32[Ntex, N, 3] stacked texture values.
+# p op codes (lobe_p columns 0,1).
+P_NONE = 0
+P_INV_A = 1         # p0 = 1/slot a (roughness -> exponent)
+P_SIGMA_AB = 2      # Oren-Nayar A,B from sigma degrees in slot a
+P_INV_AB = 3        # p0 = 1/slot a, p1 = 1/slot b (aniso)
+
+
+def build_templates(mats: List[Tuple[int, List[int], int]]):
+    """Host-side: (kind, tex_slots, bump) list -> template column arrays."""
+    M = len(mats)
+    L = MAX_LOBES
+    cols = {k: np.zeros((M, L), np.int32) for k in
+            ("kind", "flags", "aux0", "aux1", "rop", "ra", "rb",
+             "eop", "ea", "pop", "pa", "pb")}
+    cols["kind"][:] = B.BX_NONE
+    flip = np.zeros((M, L), bool)
+
+    def lobe(m, li, kind, flags, rop=R_ONE, ra=0, rb=0, eop=E_NONE, ea=0,
+             pop=P_NONE, pa=0, pb=0, aux0=0, aux1=0, fl=False):
+        cols["kind"][m, li] = kind
+        cols["flags"][m, li] = flags
+        cols["rop"][m, li] = rop
+        cols["ra"][m, li] = ra
+        cols["rb"][m, li] = rb
+        cols["eop"][m, li] = eop
+        cols["ea"][m, li] = ea
+        cols["pop"][m, li] = pop
+        cols["pa"][m, li] = pa
+        cols["pb"][m, li] = pb
+        cols["aux0"][m, li] = aux0
+        cols["aux1"][m, li] = aux1
+        flip[m, li] = fl
+
+    for m, (kind, slots, bump) in enumerate(mats):
+        if kind == MAT_MATTE:
+            lobe(m, 0, B.BX_ORENNAYAR, _FL_DIFF_R, R_SLOT, 0,
+                 pop=P_SIGMA_AB, pa=1)
+        elif kind == MAT_PLASTIC:
+            lobe(m, 0, B.BX_LAMBERTIAN, _FL_DIFF_R, R_SLOT, 0)
+            lobe(m, 1, B.BX_MICROFACET, _FL_GLOS_R, R_SLOT, 1,
+                 eop=E_DIEL_15, pop=P_INV_A, pa=2,
+                 aux0=B.FR_DIELECTRIC, aux1=B.DIST_BLINN)
+        elif kind == MAT_GLASS:
+            lobe(m, 0, B.BX_SPECREFL, _FL_SPEC_R, R_SLOT, 0,
+                 eop=E_DIEL_IDX, ea=2, aux0=B.FR_DIELECTRIC)
+            lobe(m, 1, B.BX_SPECTRANS, _FL_SPEC_T, R_SLOT, 1,
+                 eop=E_DIEL_IDX, ea=2)
+        elif kind == MAT_MIRROR:
+            lobe(m, 0, B.BX_SPECREFL, _FL_SPEC_R, R_SLOT, 0, aux0=B.FR_NOOP)
+        elif kind == MAT_SHINYMETAL:
+            lobe(m, 0, B.BX_MICROFACET, _FL_GLOS_R, R_ONE,
+                 eop=E_APPROX, ea=0, pop=P_INV_A, pa=2,
+                 aux0=B.FR_CONDUCTOR, aux1=B.DIST_BLINN)
+            lobe(m, 1, B.BX_SPECREFL, _FL_SPEC_R, R_ONE,
+                 eop=E_APPROX, ea=1, aux0=B.FR_CONDUCTOR)
+        elif kind == MAT_SUBSTRATE:
+            lobe(m, 0, B.BX_FRESNELBLEND, _FL_GLOS_R, R_SLOT, 0,
+                 eop=E_KS, ea=1, pop=P_INV_AB, pa=2, pb=3, aux1=B.DIST_ANISO)
+        elif kind == MAT_TRANSLUCENT:
+            lobe(m, 0, B.BX_LAMBERTIAN, _FL_DIFF_R, R_PROD, 3, 0)
+            lobe(m, 1, B.BX_LAMBERTIAN, _FL_DIFF_T, R_PROD, 4, 0, fl=True)
+            lobe(m, 2, B.BX_MICROFACET, _FL_GLOS_R, R_PROD, 3, 1,
+                 eop=E_DIEL_15, pop=P_INV_A, pa=2,
+                 aux0=B.FR_DIELECTRIC, aux1=B.DIST_BLINN)
+            lobe(m, 3, B.BX_MICROFACET, _FL_GLOS_T, R_PROD, 4, 1,
+                 eop=E_DIEL_15, pop=P_INV_A, pa=2,
+                 aux0=B.FR_DIELECTRIC, aux1=B.DIST_BLINN, fl=True)
+        elif kind == MAT_UBER:
+            lobe(m, 0, B.BX_SPECTRANS, _FL_SPEC_T, R_ONE_MINUS, 4, eop=E_PASS)
+            lobe(m, 1, B.BX_LAMBERTIAN, _FL_DIFF_R, R_PROD, 4, 0)
+            lobe(m, 2, B.BX_MICROFACET, _FL_GLOS_R, R_PROD, 4, 1,
+                 eop=E_DIEL_15, pop=P_INV_A, pa=3,
+                 aux0=B.FR_DIELECTRIC, aux1=B.DIST_BLINN)
+            lobe(m, 3, B.BX_SPECREFL, _FL_SPEC_R, R_PROD, 4, 2,
+                 eop=E_DIEL_15, aux0=B.FR_DIELECTRIC)
+        elif kind >= MAT_MEASURED_BASE:
+            mid = min(kind - MAT_MEASURED_BASE, NUM_MEASURED - 1)
+            lobe(m, 0, B.BX_LAFORTUNE, _FL_DIFF_R, R_MEASURED, aux0=mid)
+
+    # Clear flags on absent lobes.
+    cols["flags"][cols["kind"] == B.BX_NONE] = 0
+    out = {f"t_{k}": jnp.asarray(v) for k, v in cols.items()
+           if k in ("kind", "flags", "aux0", "aux1")}
+    out.update(t_flip=jnp.asarray(flip),
+               t_rop=jnp.asarray(cols["rop"]), t_ra=jnp.asarray(cols["ra"]),
+               t_rb=jnp.asarray(cols["rb"]), t_eop=jnp.asarray(cols["eop"]),
+               t_ea=jnp.asarray(cols["ea"]), t_pop=jnp.asarray(cols["pop"]),
+               t_pa=jnp.asarray(cols["pa"]), t_pb=jnp.asarray(cols["pb"]),
+               lobe_kinds=tuple(sorted(
+                   {int(k) for k in cols["kind"].ravel() if k != B.BX_NONE})),
+               dist_kinds=tuple(sorted({
+                   int(d) for k, d in zip(cols["kind"].ravel(),
+                                          cols["aux1"].ravel())
+                   if k in (B.BX_MICROFACET, B.BX_FRESNELBLEND)})))
+    return out
+
+
+def make_lobes(materials, mat_id, tex_vals) -> B.LobeTable:
+    """Assemble the wavefront LobeTable from templates + texture values.
+
+    mat_id: i32[N]; tex_vals: f32[Ntex, N, 3].
     """
     n = mat_id.shape[0]
     mid = jnp.maximum(mat_id, 0)
-    kind_m = materials.kind[mid]                  # [N]
-    tex_ids = materials.tex[mid]                  # [N, 8]
-
+    g = lambda a: a[mid]                    # [N, L]
+    tex_ids = materials.tex[mid]            # [N, 8]
     lane = jnp.arange(n)
 
-    def slot(s):
-        tid = jnp.maximum(tex_ids[:, s], 0)
-        v = tex_vals[tid, lane] if tex_vals.shape[0] > 0 else jnp.zeros((n, 3))
-        return jnp.where((tex_ids[:, s] >= 0)[:, None], v, 0.0)
+    def slot(col):                          # col: [N, L] -> value [N, L, 3]
+        tid = jnp.take_along_axis(tex_ids, col, axis=1)   # [N, L]
+        if tex_vals.shape[0] == 0:
+            return jnp.zeros((n, col.shape[1], 3), jnp.float32)
+        v = tex_vals[jnp.maximum(tid, 0), lane[:, None]]  # [N, L, 3]
+        return jnp.clip(jnp.where((tid >= 0)[..., None], v, 0.0), 0.0, 1.0)
 
-    s0, s1, s2, s3, s4 = slot(0), slot(1), slot(2), slot(3), slot(4)
-    clamp01 = lambda x: jnp.clip(x, 0.0, 1.0)
-    fl0 = lambda x: x[:, 0]  # float texture -> channel 0
+    kind = g(materials.t_kind)
+    flags = g(materials.t_flags)
+    flip = g(materials.t_flip)
+    aux0 = g(materials.t_aux0)
+    aux1 = g(materials.t_aux1)
+    rop = g(materials.t_rop)
+    sa = slot(g(materials.t_ra))
+    sb = slot(g(materials.t_rb))
 
-    # Output columns.
-    L = MAX_LOBES
-    kind = jnp.full((n, L), B.BX_NONE, jnp.int32)
-    flags = jnp.zeros((n, L), jnp.int32)
-    flip = jnp.zeros((n, L), bool)
-    R = jnp.zeros((n, L, 3), jnp.float32)
-    eta = jnp.ones((n, L, 3), jnp.float32)
-    k_ = jnp.zeros((n, L, 3), jnp.float32)
-    p = jnp.zeros((n, L, 4), jnp.float32)
-    aux0 = jnp.zeros((n, L), jnp.int32)
-    aux1 = jnp.zeros((n, L), jnp.int32)
+    from .lafortune_data import DIFFUSE
+    meas_diff = jnp.asarray(DIFFUSE)[jnp.clip(aux0, 0, NUM_MEASURED - 1)]
+    R = jnp.where((rop == R_SLOT)[..., None], sa,
+        jnp.where((rop == R_PROD)[..., None], sa * sb,
+        jnp.where((rop == R_ONE_MINUS)[..., None], 1.0 - sa,
+        jnp.where((rop == R_MEASURED)[..., None], meas_diff,
+        jnp.where((rop == R_ONE)[..., None], 1.0, 0.0)))))
 
-    def put(m, li, kn, fl, Rv, etav=None, kv=None, pv=None, a0=None, a1=None,
-            flipv=False):
-        """Masked write of one lobe row."""
-        nonlocal kind, flags, flip, R, eta, k_, p, aux0, aux1
-        mm = m
-        kind = kind.at[:, li].set(jnp.where(mm, kn, kind[:, li]))
-        flags = flags.at[:, li].set(jnp.where(mm, fl, flags[:, li]))
-        flip = flip.at[:, li].set(jnp.where(mm, flipv, flip[:, li]))
-        R = R.at[:, li].set(jnp.where(mm[:, None], Rv, R[:, li]))
-        if etav is not None:
-            eta = eta.at[:, li].set(jnp.where(mm[:, None], etav, eta[:, li]))
-        if kv is not None:
-            k_ = k_.at[:, li].set(jnp.where(mm[:, None], kv, k_[:, li]))
-        if pv is not None:
-            p = p.at[:, li].set(jnp.where(mm[:, None], pv, p[:, li]))
-        if a0 is not None:
-            aux0 = aux0.at[:, li].set(jnp.where(mm, a0, aux0[:, li]))
-        if a1 is not None:
-            aux1 = aux1.at[:, li].set(jnp.where(mm, a1, aux1[:, li]))
+    eop = g(materials.t_eop)
+    ea_raw = slot(g(materials.t_ea))        # clamped [N,L,3]
+    # E_DIEL_IDX needs the unclamped float (IOR can exceed 1) — reread raw.
+    tid_e = jnp.take_along_axis(tex_ids, g(materials.t_ea), axis=1)
+    if tex_vals.shape[0] > 0:
+        ea_unc = tex_vals[jnp.maximum(tid_e, 0), lane[:, None]]
+    else:
+        ea_unc = jnp.ones((n, kind.shape[1], 3), jnp.float32)
+    ones3 = jnp.ones_like(R)
+    eta = ones3
+    eta = jnp.where((eop == E_DIEL_15)[..., None],
+                    jnp.stack([1.5 * ones3[..., 0], ones3[..., 1],
+                               ones3[..., 2]], -1), eta)
+    eta = jnp.where((eop == E_DIEL_IDX)[..., None],
+                    jnp.stack([ones3[..., 0], ea_unc[..., 0],
+                               ones3[..., 2]], -1), eta)
+    eta = jnp.where((eop == E_APPROX)[..., None],
+                    B.fresnel_approx_eta(ea_raw), eta)
+    k_ = jnp.where((eop == E_KS)[..., None], ea_raw, jnp.zeros_like(R))
 
-    ones = jnp.ones((n,), jnp.float32)
-    zeros_i = jnp.zeros((n,), jnp.int32)
-    diel_15 = jnp.stack([1.5 * ones, 1.0 * ones, ones], -1)  # etai=1.5? no:
-    # FresnelDielectric(1.5, 1.) means eta_i=1.5, eta_t=1 in pbrt's ctor order.
-    pack_p = lambda a, b=0.0, c=0.0, d=0.0: jnp.stack(
-        [a * ones if jnp.ndim(a) == 0 else a,
-         b * ones if jnp.ndim(b) == 0 else b,
-         c * ones if jnp.ndim(c) == 0 else c,
-         d * ones if jnp.ndim(d) == 0 else d], -1)
-
-    inv_rough = lambda r: 1.0 / jnp.maximum(fl0(r), 1e-5)
-
-    # ---- matte (materials/matte.cpp:46-64): sigma==0 -> Lambertian ----
-    m = kind_m == MAT_MATTE
-    sigma_deg = fl0(s1)
-    sig = jnp.radians(sigma_deg)
+    pop = g(materials.t_pop)
+    pa = slot(g(materials.t_pa))[..., 0]
+    pb = slot(g(materials.t_pb))[..., 0]
+    inv = lambda x: 1.0 / jnp.maximum(x, 1e-5)
+    sig = jnp.radians(pa)
     sig2 = sig * sig
     A_on = 1.0 - sig2 / (2.0 * (sig2 + 0.33))
     B_on = 0.45 * sig2 / (sig2 + 0.09)
-    is_lam = sigma_deg == 0.0
-    put(m, 0, jnp.where(is_lam, B.BX_LAMBERTIAN, B.BX_ORENNAYAR),
-        _FL_DIFF_R, clamp01(s0), pv=pack_p(A_on, B_on))
+    p0 = jnp.where(pop == P_INV_A, inv(pa),
+         jnp.where(pop == P_SIGMA_AB, A_on,
+         jnp.where(pop == P_INV_AB, inv(pa), 0.0)))
+    p1 = jnp.where(pop == P_SIGMA_AB, B_on,
+         jnp.where(pop == P_INV_AB, inv(pb), 0.0))
+    # Blinn exponent cap (reflection.h:313).
+    p0 = jnp.minimum(p0, 10000.0)
+    p1 = jnp.minimum(p1, 10000.0)
+    p = jnp.stack([p0, p1, jnp.zeros_like(p0), jnp.zeros_like(p0)], -1)
 
-    # ---- plastic (materials/plastic.cpp:46-68) ----
-    m = kind_m == MAT_PLASTIC
-    put(m, 0, B.BX_LAMBERTIAN, _FL_DIFF_R, clamp01(s0))
-    put(m, 1, B.BX_MICROFACET, _FL_GLOS_R, clamp01(s1),
-        etav=diel_15, pv=pack_p(inv_rough(s2)),
-        a0=B.FR_DIELECTRIC, a1=B.DIST_BLINN)
-
-    # ---- glass (materials/glass.cpp:46-63) ----
-    m = kind_m == MAT_GLASS
-    ior = fl0(s2)
-    eta_gl = jnp.stack([ones, ior, ones], -1)  # etai=1, etat=index
-    put(m, 0, B.BX_SPECREFL, _FL_SPEC_R, clamp01(s0), etav=eta_gl,
-        a0=B.FR_DIELECTRIC)
-    put(m, 1, B.BX_SPECTRANS, _FL_SPEC_T, clamp01(s1), etav=eta_gl)
-
-    # ---- mirror (materials/mirror.cpp) ----
-    m = kind_m == MAT_MIRROR
-    put(m, 0, B.BX_SPECREFL, _FL_SPEC_R, clamp01(s0), a0=B.FR_NOOP)
-
-    # ---- shinymetal (materials/shinymetal.cpp:45-66) ----
-    m = kind_m == MAT_SHINYMETAL
-    eta_mf = B.fresnel_approx_eta(clamp01(s0))
-    eta_sr = B.fresnel_approx_eta(clamp01(s1))
-    one3 = jnp.ones((n, 3), jnp.float32)
-    put(m, 0, B.BX_MICROFACET, _FL_GLOS_R, one3, etav=eta_mf, kv=0.0 * one3,
-        pv=pack_p(inv_rough(s2)), a0=B.FR_CONDUCTOR, a1=B.DIST_BLINN)
-    put(m, 1, B.BX_SPECREFL, _FL_SPEC_R, one3, etav=eta_sr, kv=0.0 * one3,
-        a0=B.FR_CONDUCTOR)
-
-    # ---- substrate (materials/substrate.cpp:47-63) ----
-    m = kind_m == MAT_SUBSTRATE
-    put(m, 0, B.BX_FRESNELBLEND, _FL_GLOS_R, clamp01(s0), kv=clamp01(s1),
-        pv=pack_p(inv_rough(s2), inv_rough(s3)), a1=B.DIST_ANISO)
-
-    # ---- translucent (materials/translucent.cpp:52-84) ----
-    m = kind_m == MAT_TRANSLUCENT
-    refl = clamp01(s3)
-    trans = clamp01(s4)
-    put(m, 0, B.BX_LAMBERTIAN, _FL_DIFF_R, refl * clamp01(s0))
-    put(m, 1, B.BX_LAMBERTIAN, _FL_DIFF_T, trans * clamp01(s0), flipv=True)
-    put(m, 2, B.BX_MICROFACET, _FL_GLOS_R, refl * clamp01(s1),
-        etav=diel_15, pv=pack_p(inv_rough(s2)), a0=B.FR_DIELECTRIC,
-        a1=B.DIST_BLINN)
-    put(m, 3, B.BX_MICROFACET, _FL_GLOS_T, trans * clamp01(s1),
-        etav=diel_15, pv=pack_p(inv_rough(s2)), a0=B.FR_DIELECTRIC,
-        a1=B.DIST_BLINN, flipv=True)
-
-    # ---- uber (materials/uber.cpp:52-88) ----
-    m = kind_m == MAT_UBER
-    op = clamp01(s4)
-    eta_pass = jnp.stack([ones, ones, ones], -1)
-    put(m, 0, B.BX_SPECTRANS, _FL_SPEC_T, 1.0 - op, etav=eta_pass)
-    put(m, 1, B.BX_LAMBERTIAN, _FL_DIFF_R, op * clamp01(s0))
-    put(m, 2, B.BX_MICROFACET, _FL_GLOS_R, op * clamp01(s1),
-        etav=diel_15, pv=pack_p(inv_rough(s3)), a0=B.FR_DIELECTRIC,
-        a1=B.DIST_BLINN)
-    put(m, 3, B.BX_SPECREFL, _FL_SPEC_R, op * clamp01(s2), etav=diel_15,
-        a0=B.FR_DIELECTRIC)
-
-    # ---- measured Lafortune (materials/{bluepaint..skin}.cpp) ----
-    from .lafortune_data import DIFFUSE
-    m = kind_m >= MAT_MEASURED_BASE
-    meas_id = jnp.clip(kind_m - MAT_MEASURED_BASE, 0, NUM_MEASURED - 1)
-    put(m, 0, B.BX_LAFORTUNE, _FL_DIFF_R, jnp.asarray(DIFFUSE)[meas_id],
-        a0=meas_id)
-
-    # Disable lobes whose scale is exactly black — mirrors the reference's
-    # conditional Add() so NumComponents / mixture pdfs match. FresnelBlend
-    # checks Rd+Rs; uber's 1-opacity lobe disables at opacity==1.
+    # Disable exactly-black lobes (reference's conditional Add()).
     scale_black = jnp.all(R == 0.0, axis=-1)
     fb = kind == B.BX_FRESNELBLEND
-    fb_black = scale_black & jnp.all(k_ == 0.0, axis=-1)
-    dead = jnp.where(fb, fb_black, scale_black) | (kind == B.BX_NONE)
+    dead = jnp.where(fb, scale_black & jnp.all(k_ == 0.0, -1), scale_black)
+    dead = dead | (kind == B.BX_NONE)
     kind = jnp.where(dead, B.BX_NONE, kind)
     flags = jnp.where(dead, 0, flags)
 
     return B.LobeTable(kind=kind, flags=flags, flip=flip, R=R, eta=eta,
-                       k=k_, p=p, aux0=aux0, aux1=aux1)
+                       k=k_, p=p, aux0=aux0, aux1=aux1,
+                       kinds_present=materials.lobe_kinds,
+                       dist_kinds=materials.dist_kinds)

@@ -35,6 +35,7 @@ class RenderOptions(NamedTuple):
     filter_xwidth: float = 2.0
     filter_ywidth: float = 2.0
     integrator: str = "whitted"        # whitted|path|directlighting|debug
+    volume_integrator: str = "emission"  # emission|single
     max_depth: int = 5
     crop: tuple = (0.0, 1.0, 0.0, 1.0)
     seed: int = 0
@@ -70,6 +71,24 @@ def render_chunk(scene: SceneData, opts: RenderOptions, film: film_mod.Film,
         scene.camera, cs["image_x"], cs["image_y"], cs["lens_u"],
         cs["lens_v"], cs["time"], opts.xres, opts.yres)
     L, alpha = _li_dispatch(scene, opts, o, d, mint, maxt, px, py, s_idx)
+    # Scene::Li composition (core/scene.cpp:120-126): L = T*Lo + Lv with T
+    # the camera-segment transmittance to the first hit and Lv the volume
+    # integrator's in-scatter/emission along that segment.
+    if scene.volumes is not None and scene.volumes.count > 0:
+        from .accel import intersect as isect
+        from .core import rng as rng_mod
+        from .integrators import volume as vol_integ
+        t_hit, _, hit = isect.intersect_ids(scene, o, d, mint, maxt)
+        seg_end = jnp.where(hit, t_hit, maxt)
+        ph = rng_mod.hash_u32(px, py, opts.seed, 0xF0)
+        u = rng_mod.uniform(ph, s_idx, 0x7A)
+        T = vol_integ.transmittance(scene, o, d, mint, seg_end, u)
+        if opts.volume_integrator == "single":
+            Lv = vol_integ.li_single(scene, o, d, mint, seg_end, ph, s_idx,
+                                     opts.seed)
+        else:
+            Lv = vol_integ.li_emission(scene, o, d, mint, seg_end, u)
+        L = T * L + Lv
     # Radiance guards (core/scene.cpp:60-74): NaN/negative/inf -> black.
     bad = jnp.any(~jnp.isfinite(L) | (L < 0.0), axis=-1)
     L = jnp.where(bad[..., None], 0.0, L)

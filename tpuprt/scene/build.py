@@ -72,7 +72,7 @@ class SceneBuilder:
         self.lights: List[_Light] = []
         self.volumes: List[Dict[str, Any]] = []
         self.camera: Optional[D.CameraData] = None
-        self.accel_kind: str = "none"
+        self.accel_kind: str = "auto"
         self.accel_params: Dict[str, Any] = {}
         self._const_cache: Dict[Tuple[float, float, float], int] = {}
 
@@ -332,6 +332,45 @@ class SceneBuilder:
         m.area_light = lid
         return lid
 
+    # ---- volumes --------------------------------------------------------
+    def add_volume(self, kind: str, v2w, p0=(0, 0, 0), p1=(1, 1, 1),
+                   sigma_a=(1.0,) * 3, sigma_s=(1.0,) * 3, le=(0.0,) * 3,
+                   g=0.0, a=1.0, b=1.0, updir=(0, 1, 0), density=None,
+                   density_shape=None):
+        """homogeneous | exponential | volumegrid (volumes/*.cpp).
+        p0/p1: object-space AABB; v2w: volume-to-world transform."""
+        kinds = {"homogeneous": 0, "exponential": 1, "volumegrid": 2}
+        v2w = np.asarray(v2w, np.float32)
+        p0 = np.asarray(p0, np.float64)
+        p1 = np.asarray(p1, np.float64)
+        # world AABB from the 8 transformed corners.
+        corners = np.array([[p0[0] if i & 1 else p1[0],
+                             p0[1] if i & 2 else p1[1],
+                             p0[2] if i & 4 else p1[2]] for i in range(8)])
+        wc = corners @ v2w[:3, :3].T + v2w[:3, 3]
+        # w2v maps world -> unit box over [p0, p1].
+        span = np.where(np.abs(p1 - p0) < 1e-12, 1.0, p1 - p0)
+        to_unit = np.eye(4)
+        to_unit[:3, :3] = np.diag(1.0 / span)
+        to_unit[:3, 3] = -p0 / span
+        w2v = (to_unit @ np.linalg.inv(v2w)).astype(np.float32)
+        dens = None
+        if density is not None:
+            nx, ny, nz = density_shape
+            dens = np.asarray(density, np.float32).reshape(nz, ny, nx)
+        self.volumes.append(dict(
+            kind=kinds[kind], w2v=w2v,
+            v2w=np.linalg.inv(w2v).astype(np.float32),
+            lo=wc.min(0).astype(np.float32), hi=wc.max(0).astype(np.float32),
+            sigma_a=np.asarray(sigma_a, np.float32),
+            sigma_s=np.asarray(sigma_s, np.float32),
+            le=np.asarray(le, np.float32), g=float(g),
+            params=np.asarray([a, b, 0, 0], np.float32),
+            updir=np.asarray(updir, np.float32) /
+            max(np.linalg.norm(updir), 1e-12),
+            density=dens))
+        return len(self.volumes) - 1
+
     # ---- camera ---------------------------------------------------------
     def set_camera(self, cam: D.CameraData):
         self.camera = cam
@@ -351,14 +390,16 @@ class SceneBuilder:
                 material=jnp.asarray([x.material for x in self.quadrics], jnp.int32),
                 area_light=jnp.asarray([x.area_light for x in self.quadrics], jnp.int32),
                 flip_normal=jnp.asarray([x.flip for x in self.quadrics], jnp.float32),
-                count=nq)
+                count=nq,
+                kinds_present=tuple(sorted({x.kind for x in self.quadrics})))
         else:
             z = jnp.zeros
             q = D.QuadricTable(kind=z((0,), jnp.int32), o2w=z((0, 4, 4)),
                                w2o=z((0, 4, 4)), params=z((0, 8)),
                                material=z((0,), jnp.int32),
                                area_light=z((0,), jnp.int32),
-                               flip_normal=z((0,)), count=0)
+                               flip_normal=z((0,)), count=0,
+                               kinds_present=())
 
         # Triangles: concatenate meshes; record per-mesh triangle offsets.
         mesh_tri_offset = []
@@ -408,7 +449,8 @@ class SceneBuilder:
                 material=z((0,), jnp.int32), area_light=z((0,), jnp.int32),
                 flip_normal=z((0,)), count=0)
 
-        # Materials.
+        # Materials (+ build-time lobe templates, materials/factory.py).
+        from ..materials.factory import build_templates
         nm = max(1, len(self.materials))
         mats = self.materials or [(0, [self.constant_texture((0.5,) * 3),
                                        self.constant_texture(0.0)] + [-1] * 6, -1)]
@@ -416,7 +458,7 @@ class SceneBuilder:
             kind=jnp.asarray([m[0] for m in mats], jnp.int32),
             tex=jnp.asarray([m[1] for m in mats], jnp.int32),
             bump=jnp.asarray([m[2] for m in mats], jnp.int32),
-            count=nm)
+            count=nm, **build_templates(mats))
 
         # Texture graph.
         if self.tex_nodes:
@@ -476,7 +518,8 @@ class SceneBuilder:
                 cdf_offset=jnp.asarray(cdf_off, jnp.int32),
                 area_cdf=jnp.asarray(cdf_flat, jnp.float32),
                 count=nl, infinite_meta=infinite_meta,
-                dir_map_meta=dir_map_meta, max_area_count=max_cnt)
+                dir_map_meta=dir_map_meta, max_area_count=max_cnt,
+                kinds_present=tuple(sorted({l.kind for l in self.lights})))
         else:
             z = jnp.zeros
             lt_tab = D.LightTable(
@@ -486,7 +529,8 @@ class SceneBuilder:
                 area_geom_kind=z((0,), jnp.int32), area_first=z((0,), jnp.int32),
                 area_count=z((0,), jnp.int32), area_total_area=z((0,)),
                 cdf_offset=z((0,), jnp.int32), area_cdf=z((1,)),
-                count=0, infinite_meta=(), dir_map_meta=(), max_area_count=1)
+                count=0, infinite_meta=(), dir_map_meta=(), max_area_count=1,
+                kinds_present=())
 
         # World bound.
         los, his = [], []
@@ -507,14 +551,45 @@ class SceneBuilder:
             wlo = np.full(3, -1.0, np.float32)
             whi = np.full(3, 1.0, np.float32)
 
+        # Volumes.
+        vols = None
+        if self.volumes:
+            nv_ = len(self.volumes)
+            vv = self.volumes
+            vols = D.VolumeTable(
+                kind=jnp.asarray([v["kind"] for v in vv], jnp.int32),
+                w2v=jnp.asarray(np.stack([v["w2v"] for v in vv])),
+                v2w=jnp.asarray(np.stack([v["v2w"] for v in vv])),
+                bound_lo=jnp.asarray(np.stack([v["lo"] for v in vv])),
+                bound_hi=jnp.asarray(np.stack([v["hi"] for v in vv])),
+                sigma_a=jnp.asarray(np.stack([v["sigma_a"] for v in vv])),
+                sigma_s=jnp.asarray(np.stack([v["sigma_s"] for v in vv])),
+                le=jnp.asarray(np.stack([v["le"] for v in vv])),
+                g=jnp.asarray([v["g"] for v in vv], jnp.float32),
+                params=jnp.asarray(np.stack([v["params"] for v in vv])),
+                updir=jnp.asarray(np.stack([v["updir"] for v in vv])),
+                density=tuple(jnp.asarray(v["density"])
+                              if v["density"] is not None else None
+                              for v in vv),
+                count=nv_)
+            for v in vv:
+                wlo = np.minimum(wlo, v["lo"])
+                whi = np.maximum(whi, v["hi"])
+
         scene = D.SceneData(
             quadrics=q, triangles=tri, materials=materials, textures=textures,
-            images=images, lights=lt_tab, volumes=None, camera=self.camera,
+            images=images, lights=lt_tab, volumes=vols, camera=self.camera,
             accel=None, env_importance=None,
             world_bound_lo=jnp.asarray(wlo), world_bound_hi=jnp.asarray(whi))
 
-        if self.accel_kind == "grid" and (nq + nt_total) > 0:
+        # Accelerator: explicit request, or automatic for big scenes (the
+        # reference defaults to kdtree for everything, api.cpp:495; brute
+        # force beats traversal for tiny prim counts on a vector machine).
+        nprims = nq + nt_total
+        want = self.accel_kind in ("grid", "kdtree") or \
+            (self.accel_kind == "auto" and nprims > 64)
+        if want and nprims > 0:
+            import dataclasses
             from ..accel.grid_build import build_grid
-            scene = scene.__class__(**{**scene.__dict__,
-                                       "accel": build_grid(self, scene)})
+            scene = dataclasses.replace(scene, accel=build_grid(scene))
         return scene

@@ -70,6 +70,8 @@ class QuadricTable:
     area_light: jnp.ndarray  # i32[Q], -1 if not emissive
     flip_normal: jnp.ndarray # f32[Q], +-1: reverseOrientation ^ swapsHandedness
     count: int = static(default=0)
+    # Static set of quadric kinds present — kernels skip absent kinds.
+    kinds_present: Tuple = static(default=())
 
 
 @pytree_dataclass
@@ -92,13 +94,38 @@ class TriangleTable:
 
 @pytree_dataclass
 class MaterialTable:
-    """Material = kind tag + texture-slot references. Mirrors the parameter
-    surface of /root/reference/materials/*.cpp. ``tex`` holds texture node
-    ids per named slot (meaning depends on kind; see materials/factory.py)."""
+    """Material = kind tag + texture-slot references + precompiled lobe
+    templates. Mirrors the parameter surface of
+    /root/reference/materials/*.cpp. ``tex`` holds texture node ids per
+    named slot (meaning depends on kind; see materials/factory.py).
+
+    The lobe-template columns [M, L] encode, per material, how each BSDF
+    lobe is assembled from the slot values — computed ONCE at scene build on
+    the host so the shading wavefront only does gathers + a few selects
+    (the traced-masked-write alternative costs ~500 graph ops per bounce).
+    Op codes are defined in materials/factory.py."""
     kind: jnp.ndarray        # i32[M]
     tex: jnp.ndarray         # i32[M, 8] texture ids per slot, -1 = unset
     bump: jnp.ndarray        # i32[M] texture id or -1
+    # Lobe templates [M, L]:
+    t_kind: jnp.ndarray = None   # i32 BxDF kind (-1 = no lobe)
+    t_flags: jnp.ndarray = None  # i32 BxDFType bits
+    t_flip: jnp.ndarray = None   # bool BRDFToBTDF
+    t_aux0: jnp.ndarray = None   # i32 fresnel kind / measured id
+    t_aux1: jnp.ndarray = None   # i32 distribution kind
+    t_rop: jnp.ndarray = None    # i32 R op code
+    t_ra: jnp.ndarray = None     # i32 slot column a
+    t_rb: jnp.ndarray = None     # i32 slot column b
+    t_eop: jnp.ndarray = None    # i32 eta/k op code
+    t_ea: jnp.ndarray = None     # i32 eta slot column
+    t_pop: jnp.ndarray = None    # i32 p op code
+    t_pa: jnp.ndarray = None     # i32 p slot column a
+    t_pb: jnp.ndarray = None     # i32 p slot column b
     count: int = static(default=0)
+    # Static sets of BxDF lobe kinds / distribution kinds present across all
+    # materials — BSDF kernels skip absent formulas.
+    lobe_kinds: Tuple = static(default=())
+    dist_kinds: Tuple = static(default=())
 
 
 # Texture graphs live in textures/graph.py (TexGraph): static node topology
@@ -144,6 +171,8 @@ class LightTable:
     cdf_offset: jnp.ndarray       # i32[L]
     area_cdf: jnp.ndarray         # f32[sum(counts+1)]
     count: int = static(default=0)
+    # Static set of light kinds present — sampling skips absent kinds.
+    kinds_present: Tuple = static(default=())
     # Static roster of (light_id, image_id, importance: bool) for infinite
     # lights — image structure is static so env lookups unroll per light.
     infinite_meta: Tuple = static(default=())

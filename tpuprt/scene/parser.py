@@ -205,6 +205,8 @@ class PbrtParser:
         self.filter_params = ParamSet({})
         self.integrator_name = "directlighting"
         self.integrator_params = ParamSet({})
+        self.volume_integrator_name = "emission"
+        self.volume_integrator_params = ParamSet({})
         self.accel_name = "kdtree"
         self.accel_params = ParamSet({})
         self.objects: Dict[str, list] = {}
@@ -300,6 +302,7 @@ class PbrtParser:
         elif name == "Accelerator":
             self.accel_name = ts.next()[1]
             self.accel_params = ParamSet(parse_params(ts))
+            self.builder.accel_kind = self.accel_name
         elif name == "SearchPath":
             _parse_value_list(ts)  # plugin paths are meaningless here
         elif name == "Material":
@@ -658,7 +661,29 @@ class PbrtParser:
             attach_area_mesh(mid)
 
     def _make_volume(self, kind: str, params: ParamSet):
-        pass  # volumes wired in volumes/regions.py (round 2 integration)
+        """Volume statement -> VolumeTable row (volumes/*.cpp params)."""
+        p0 = params.find_point("p0", (0, 0, 0))
+        p1 = params.find_point("p1", (1, 1, 1))
+        common = dict(
+            v2w=self.ctm, p0=p0, p1=p1,
+            sigma_a=params.find_spectrum("sigma_a", (1.0,) * 3),
+            sigma_s=params.find_spectrum("sigma_s", (1.0,) * 3),
+            le=params.find_spectrum("Le", (0.0,) * 3),
+            g=params.find_one("g", 0.0))
+        if kind == "homogeneous":
+            self.builder.add_volume("homogeneous", **common)
+        elif kind == "exponential":
+            self.builder.add_volume(
+                "exponential", a=params.find_one("a", 1.0),
+                b=params.find_one("b", 1.0),
+                updir=params.find_point("updir", (0, 1, 0)), **common)
+        elif kind == "volumegrid":
+            nx = params.find_one("nx", 1)
+            ny = params.find_one("ny", 1)
+            nz = params.find_one("nz", 1)
+            dens = params.find_floats("density")
+            self.builder.add_volume("volumegrid", density=dens,
+                                    density_shape=(nx, ny, nz), **common)
 
     # ------------------------------------------------------------------
     def finish(self):
@@ -723,6 +748,8 @@ class PbrtParser:
             filter_xwidth=self.filter_params.find_one("xwidth", fw[0]),
             filter_ywidth=self.filter_params.find_one("ywidth", fw[1]),
             integrator=integ_map.get(integ, "directlighting"),
+            volume_integrator=("single" if self.volume_integrator_name ==
+                               "single" else "emission"),
             max_depth=self.integrator_params.find_one("maxdepth", 5),
             crop=crop)
         scene = self.builder.build()

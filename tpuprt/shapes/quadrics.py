@@ -33,7 +33,10 @@ def _phi_of(x, y, phimax):
     return phi
 
 
-def _coeffs(kind, p, o, d):
+ALL_QUADRIC_KINDS = (0, 1, 2, 3, 4, 5)
+
+
+def _coeffs(kind, p, o, d, kinds_present=ALL_QUADRIC_KINDS):
     """Quadratic coefficients (A,B,C) per quadric kind, all computed then
     selected by mask (each is a handful of VPU flops)."""
     ox, oy, oz = o[..., 0], o[..., 1], o[..., 2]
@@ -72,11 +75,13 @@ def _coeffs(kind, p, o, d):
     C_h = a_h * (ox * ox + oy * oy) - c_h * oz * oz - 1.0
 
     def sel(vs, vc, vd, vco, vpa, vh):
-        out = jnp.where(kind == QUADRIC_SPHERE, vs, vh)
-        out = jnp.where(kind == QUADRIC_CYLINDER, vc, out)
-        out = jnp.where(kind == QUADRIC_DISK, vd, out)
-        out = jnp.where(kind == QUADRIC_CONE, vco, out)
-        out = jnp.where(kind == QUADRIC_PARABOLOID, vpa, out)
+        table = [(QUADRIC_SPHERE, vs), (QUADRIC_CYLINDER, vc),
+                 (QUADRIC_DISK, vd), (QUADRIC_CONE, vco),
+                 (QUADRIC_PARABOLOID, vpa), (QUADRIC_HYPERBOLOID, vh)]
+        present = [(kt, v) for kt, v in table if kt in kinds_present]
+        out = present[0][1]
+        for kt, v in present[1:]:
+            out = jnp.where(kind == kt, v, out)
         return out
 
     A = sel(A_s, A_c, A_d, A_co, A_pa, A_h)
@@ -85,7 +90,7 @@ def _coeffs(kind, p, o, d):
     return A, B, C
 
 
-def _clip_ok(kind, p, o, d, t):
+def _clip_ok(kind, p, o, d, t, kinds_present=ALL_QUADRIC_KINDS):
     """Per-kind z/phi/radius clip tests of the hit point at parameter t."""
     hit = o + t[..., None] * d
     x, y, z = hit[..., 0], hit[..., 1], hit[..., 2]
@@ -99,27 +104,21 @@ def _clip_ok(kind, p, o, d, t):
     zmax = p[..., 2]
     r_disk, ir_disk = p[..., 1], p[..., 2]
     d2 = x * x + y * y
-    ok = jnp.where(
-        kind == QUADRIC_SPHERE, (z >= zmin) & (z <= zmax),
-        jnp.where(
-            kind == QUADRIC_CYLINDER, (z >= zmin) & (z <= zmax),
-            jnp.where(
-                kind == QUADRIC_DISK,
-                (d2 <= r_disk * r_disk) & (d2 >= ir_disk * ir_disk),
-                jnp.where(
-                    kind == QUADRIC_CONE, (z >= 0.0) & (z <= p[..., 1]),
-                    jnp.where(
-                        kind == QUADRIC_PARABOLOID,
-                        (z >= jnp.minimum(p[..., 1], p[..., 2]))
-                        & (z <= jnp.maximum(p[..., 1], p[..., 2])),
-                        # hyperboloid: z between p1z..p2z stored at 2,5
-                        (z >= jnp.minimum(p[..., 2], p[..., 5]))
-                        & (z <= jnp.maximum(p[..., 2], p[..., 5])),
-                    ),
-                ),
-            ),
-        ),
-    )
+    table = [
+        (QUADRIC_SPHERE, (z >= zmin) & (z <= zmax)),
+        (QUADRIC_CYLINDER, (z >= zmin) & (z <= zmax)),
+        (QUADRIC_DISK, (d2 <= r_disk * r_disk) & (d2 >= ir_disk * ir_disk)),
+        (QUADRIC_CONE, (z >= 0.0) & (z <= p[..., 1])),
+        (QUADRIC_PARABOLOID, (z >= jnp.minimum(p[..., 1], p[..., 2]))
+         & (z <= jnp.maximum(p[..., 1], p[..., 2]))),
+        # hyperboloid: z between p1z..p2z stored at 2,5
+        (QUADRIC_HYPERBOLOID, (z >= jnp.minimum(p[..., 2], p[..., 5]))
+         & (z <= jnp.maximum(p[..., 2], p[..., 5]))),
+    ]
+    present = [(kt, v) for kt, v in table if kt in kinds_present]
+    ok = present[0][1]
+    for kt, v in present[1:]:
+        ok = jnp.where(kind == kt, v, ok)
     return ok & ok_phi
 
 
@@ -135,7 +134,8 @@ def intersect(quad: QuadricTable, o, d, mint, maxt):
     kind = quad.kind[None, :]
     p = quad.params[None, :]
 
-    A, B, C = _coeffs(kind, p, oo, od)
+    kp = quad.kinds_present or ALL_QUADRIC_KINDS
+    A, B, C = _coeffs(kind, p, oo, od, kp)
     is_linear = kind == QUADRIC_DISK
     okq, t0, t1 = vm.quadratic(A, B, C)
     # Disk: single root -C/B, degenerate if |B| ~ 0 (ray parallel to plane).
@@ -147,11 +147,37 @@ def intersect(quad: QuadricTable, o, d, mint, maxt):
 
     mint_b = mint[:, None]
     maxt_b = maxt[:, None]
-    in0 = okq & (t0 > mint_b) & (t0 < maxt_b) & _clip_ok(kind, p, oo, od, t0)
-    in1 = okq & (t1 > mint_b) & (t1 < maxt_b) & _clip_ok(kind, p, oo, od, t1)
+    in0 = okq & (t0 > mint_b) & (t0 < maxt_b) & _clip_ok(kind, p, oo, od, t0, kp)
+    in1 = okq & (t1 > mint_b) & (t1 < maxt_b) & _clip_ok(kind, p, oo, od, t1, kp)
     t = jnp.where(in0, t0, jnp.where(in1, t1, _BIG))
     valid = in0 | in1
     return t, valid
+
+
+def intersect_gathered(kind, w2o, params, o, d, mint, maxt,
+                       kinds_present=ALL_QUADRIC_KINDS):
+    """Per-lane single-quadric test with pre-gathered rows.
+
+    kind i32[N], w2o f32[N,4,4], params f32[N,8]; o/d world rays f32[N,3].
+    Returns (t f32[N], valid bool[N]) — used by accelerator traversal where
+    each lane tests one candidate prim per step.
+    """
+    oo = tf.apply_point(w2o, o)
+    od = tf.apply_vector(w2o, d)
+    A, B, C = _coeffs(kind, params, oo, od, kinds_present)
+    is_linear = kind == QUADRIC_DISK
+    okq, t0, t1 = vm.quadratic(A, B, C)
+    t_lin = -C / jnp.where(jnp.abs(B) < 1e-12, 1e-12, B)
+    ok_lin = jnp.abs(B) >= 1e-7
+    t0 = jnp.where(is_linear, t_lin, t0)
+    t1 = jnp.where(is_linear, _BIG, t1)
+    okq = jnp.where(is_linear, ok_lin, okq)
+    in0 = okq & (t0 > mint) & (t0 < maxt) & \
+        _clip_ok(kind, params, oo, od, t0, kinds_present)
+    in1 = okq & (t1 > mint) & (t1 < maxt) & \
+        _clip_ok(kind, params, oo, od, t1, kinds_present)
+    t = jnp.where(in0, t0, jnp.where(in1, t1, _BIG))
+    return t, in0 | in1
 
 
 def differential_geometry(quad: QuadricTable, qid, o, d, t):
@@ -182,113 +208,109 @@ def differential_geometry(quad: QuadricTable, qid, o, d, t):
 
     zeros = jnp.zeros_like(x)
     ones = jnp.ones_like(x)
-
-    # --- sphere (shapes/sphere.cpp:145-202) ---
-    radius = p[..., 0]
-    zmin, zmax = p[..., 1], p[..., 2]
-    thetamin = p[..., 4]
-    thetamax = p[..., 5]
-    theta = jnp.arccos(jnp.clip(z / jnp.where(radius == 0, 1.0, radius), -1, 1))
-    v_sph = (theta - thetamin) / jnp.where(thetamax == thetamin, 1.0, thetamax - thetamin)
-    zr = jnp.sqrt(jnp.maximum(x * x + y * y, 1e-12))
-    inv_zr = 1.0 / zr
-    cphi, sphi = x * inv_zr, y * inv_zr
-    dpdu_s = jnp.stack([-phimax * y, phimax * x, zeros], -1)
-    dpdv_s = (thetamax - thetamin)[..., None] * jnp.stack(
-        [z * cphi, z * sphi, -radius * jnp.sin(theta)], -1)
-    d2pduu_s = (-phimax * phimax)[..., None] * jnp.stack([x, y, zeros], -1)
-    d2pduv_s = ((thetamax - thetamin) * z * phimax)[..., None] * jnp.stack(
-        [-sphi, cphi, zeros], -1)
-    d2pdvv_s = (-(thetamax - thetamin) ** 2)[..., None] * ph
-
-    # --- cylinder (shapes/cylinder.cpp:106-136) ---
-    v_cyl = (z - zmin) / jnp.where(zmax == zmin, 1.0, zmax - zmin)
-    dpdu_c = jnp.stack([-phimax * y, phimax * x, zeros], -1)
-    dpdv_c = jnp.stack([zeros, zeros, zmax - zmin], -1)
-    d2pduu_c = (-phimax * phimax)[..., None] * jnp.stack([x, y, zeros], -1)
-    d2pduv_c = jnp.zeros_like(ph)
-    d2pdvv_c = jnp.zeros_like(ph)
-
-    # --- disk (shapes/disk.cpp:92-112): v from radius ---
-    r_disk, ir_disk = p[..., 1], p[..., 2]
-    dist = jnp.sqrt(jnp.maximum(x * x + y * y, 1e-12))
-    v_dsk = 1.0 - (dist - ir_disk) / jnp.where(r_disk == ir_disk, 1.0, r_disk - ir_disk)
-    dpdu_d = jnp.stack([-phimax * y, phimax * x, zeros], -1)
-    one_m_v = jnp.where(v_dsk >= 1.0, 1.0, 1.0 - v_dsk)
-    dpdv_d = jnp.stack([-x / one_m_v, -y / one_m_v, zeros], -1) * \
-        ((r_disk - ir_disk) / jnp.where(r_disk == 0, 1.0, r_disk))[..., None]
-    # disk is flat: second derivatives zero
-    # --- cone (shapes/cone.cpp:107-133) ---
-    h_co = p[..., 1]
-    v_con = z / jnp.where(h_co == 0, 1.0, h_co)
-    dpdu_co = jnp.stack([-phimax * y, phimax * x, zeros], -1)
-    dpdv_co = jnp.stack([-x / jnp.maximum(1.0 - v_con, 1e-6),
-                         -y / jnp.maximum(1.0 - v_con, 1e-6), h_co], -1)
-    d2pduu_co = (-phimax * phimax)[..., None] * jnp.stack([x, y, zeros], -1)
-    d2pduv_co = (phimax / jnp.maximum(1.0 - v_con, 1e-6))[..., None] * \
-        jnp.stack([y, -x, zeros], -1)
-    d2pdvv_co = jnp.zeros_like(ph)
-
-    # --- paraboloid (shapes/paraboloid.cpp:107-137) ---
-    zmin_pa, zmax_pa = p[..., 1], p[..., 2]
-    v_par = (z - zmin_pa) / jnp.where(zmax_pa == zmin_pa, 1.0, zmax_pa - zmin_pa)
-    dpdu_pa = jnp.stack([-phimax * y, phimax * x, zeros], -1)
-    z_safe = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
-    dpdv_pa = (zmax_pa - zmin_pa)[..., None] * jnp.stack(
-        [x / (2.0 * z_safe), y / (2.0 * z_safe), ones], -1)
-    d2pduu_pa = (-phimax * phimax)[..., None] * jnp.stack([x, y, zeros], -1)
-    d2pduv_pa = ((zmax_pa - zmin_pa) * phimax)[..., None] * jnp.stack(
-        [-y / (2.0 * z_safe), x / (2.0 * z_safe), zeros], -1)
-    d2pdvv_pa = (-(zmax_pa - zmin_pa) ** 2 / (4.0 * z_safe * z_safe))[..., None] * \
-        jnp.stack([x, y, zeros], -1)
-
-    # --- hyperboloid (shapes/hyperboloid.cpp:128-167): p1 at 2..4? ---
-    # params: [a, c, p1z, p1x, p1y, p2z, phimax, zspan] — see builder packing.
-    # We interpolate between p1 and p2 by v: pbrt stores full p1,p2; we pack
-    # p1=(p[3],p[4],p[2]) and derive p2 via zspan. For dpdv use pr/z relation.
-    p1x, p1y, p1z = p[..., 3], p[..., 4], p[..., 2]
-    p2z = p[..., 5]
-    v_hyp = (z - p1z) / jnp.where(p2z == p1z, 1.0, p2z - p1z)
-    # pbrt: cosphi=x/pr? uses u param: dpdu = (-phimax*y, phimax*x, 0)
-    dpdu_h = jnp.stack([-phimax * y, phimax * x, zeros], -1)
-    # dpdv from parametric interp rotated by phi: (p2-p1) rotated.
-    # pr(v) interpolates p1..p2 then rotates by phi; dpdv = R(phi)·(p2-p1).
-    # We recover (p2-p1) xy from the implicit eq; approximate with pbrt's
-    # formulation using stored p1/p2 xy. p2xy packed in params via builder
-    # convention: p2x=p[7] is zspan... Simplify: compute dz terms numerically
-    # from implicit surface instead (exact for the surface): gradient-based.
-    a_h, c_h = p[..., 0], p[..., 1]
-    # Implicit F = a(x^2+y^2) - c z^2 - 1; dpdv chosen tangent in rz-plane:
-    grad = jnp.stack([2 * a_h * x, 2 * a_h * y, -2 * c_h * z], -1)
-    dpdv_h = vm.cross(grad, dpdu_h)
-    dpdv_h = vm.normalize(dpdv_h) * jnp.where(p2z == p1z, 1.0, jnp.abs(p2z - p1z))[..., None]
-    d2pduu_h = (-phimax * phimax)[..., None] * jnp.stack([x, y, zeros], -1)
-    d2pduv_h = jnp.zeros_like(ph)
-    d2pdvv_h = jnp.zeros_like(ph)
-
-    def sel3(vs, vc, vd, vco, vpa, vh):
-        out = jnp.where((kind == QUADRIC_SPHERE)[..., None], vs, vh)
-        out = jnp.where((kind == QUADRIC_CYLINDER)[..., None], vc, out)
-        out = jnp.where((kind == QUADRIC_DISK)[..., None], vd, out)
-        out = jnp.where((kind == QUADRIC_CONE)[..., None], vco, out)
-        out = jnp.where((kind == QUADRIC_PARABOLOID)[..., None], vpa, out)
-        return out
-
-    def sel1(vs, vc, vd, vco, vpa, vh):
-        out = jnp.where(kind == QUADRIC_SPHERE, vs, vh)
-        out = jnp.where(kind == QUADRIC_CYLINDER, vc, out)
-        out = jnp.where(kind == QUADRIC_DISK, vd, out)
-        out = jnp.where(kind == QUADRIC_CONE, vco, out)
-        out = jnp.where(kind == QUADRIC_PARABOLOID, vpa, out)
-        return out
-
-    v = sel1(v_sph, v_cyl, v_dsk, v_con, v_par, v_hyp)
-    dpdu = sel3(dpdu_s, dpdu_c, dpdu_d, dpdu_co, dpdu_pa, dpdu_h)
-    dpdv = sel3(dpdv_s, dpdv_c, dpdv_d, dpdv_co, dpdv_pa, dpdv_h)
+    kp = quad.kinds_present or ALL_QUADRIC_KINDS
+    per_kind = {}  # kind -> (v, dpdu, dpdv, d2pduu, d2pduv, d2pdvv)
     zero3 = jnp.zeros_like(ph)
-    d2pduu = sel3(d2pduu_s, d2pduu_c, zero3, d2pduu_co, d2pduu_pa, d2pduu_h)
-    d2pduv = sel3(d2pduv_s, d2pduv_c, zero3, d2pduv_co, d2pduv_pa, d2pduv_h)
-    d2pdvv = sel3(d2pdvv_s, d2pdvv_c, zero3, d2pdvv_co, d2pdvv_pa, d2pdvv_h)
+
+    if QUADRIC_SPHERE in kp:
+        # --- sphere (shapes/sphere.cpp:145-202) ---
+        radius = p[..., 0]
+        thetamin = p[..., 4]
+        thetamax = p[..., 5]
+        theta = jnp.arccos(jnp.clip(z / jnp.where(radius == 0, 1.0, radius), -1 + 1e-7, 1 - 1e-7))
+        v_sph = (theta - thetamin) / jnp.where(thetamax == thetamin, 1.0, thetamax - thetamin)
+        zr = jnp.sqrt(jnp.maximum(x * x + y * y, 1e-12))
+        inv_zr = 1.0 / zr
+        cphi, sphi = x * inv_zr, y * inv_zr
+        dpdu_s = jnp.stack([-phimax * y, phimax * x, zeros], -1)
+        dpdv_s = (thetamax - thetamin)[..., None] * jnp.stack(
+            [z * cphi, z * sphi, -radius * jnp.sin(theta)], -1)
+        d2pduu_s = (-phimax * phimax)[..., None] * jnp.stack([x, y, zeros], -1)
+        d2pduv_s = ((thetamax - thetamin) * z * phimax)[..., None] * jnp.stack(
+            [-sphi, cphi, zeros], -1)
+        d2pdvv_s = (-(thetamax - thetamin) ** 2)[..., None] * ph
+        per_kind[QUADRIC_SPHERE] = (v_sph, dpdu_s, dpdv_s, d2pduu_s,
+                                    d2pduv_s, d2pdvv_s)
+
+    if QUADRIC_CYLINDER in kp:
+        # --- cylinder (shapes/cylinder.cpp:106-136) ---
+        zmin, zmax = p[..., 1], p[..., 2]
+        v_cyl = (z - zmin) / jnp.where(zmax == zmin, 1.0, zmax - zmin)
+        dpdu_c = jnp.stack([-phimax * y, phimax * x, zeros], -1)
+        dpdv_c = jnp.stack([zeros, zeros, zmax - zmin], -1)
+        d2pduu_c = (-phimax * phimax)[..., None] * jnp.stack([x, y, zeros], -1)
+        per_kind[QUADRIC_CYLINDER] = (v_cyl, dpdu_c, dpdv_c, d2pduu_c,
+                                      zero3, zero3)
+
+    if QUADRIC_DISK in kp:
+        # --- disk (shapes/disk.cpp:92-112): v from radius ---
+        r_disk, ir_disk = p[..., 1], p[..., 2]
+        dist = jnp.sqrt(jnp.maximum(x * x + y * y, 1e-12))
+        v_dsk = 1.0 - (dist - ir_disk) / jnp.where(r_disk == ir_disk, 1.0, r_disk - ir_disk)
+        dpdu_d = jnp.stack([-phimax * y, phimax * x, zeros], -1)
+        one_m_v = jnp.where(v_dsk >= 1.0, 1.0, 1.0 - v_dsk)
+        dpdv_d = jnp.stack([-x / one_m_v, -y / one_m_v, zeros], -1) * \
+            ((r_disk - ir_disk) / jnp.where(r_disk == 0, 1.0, r_disk))[..., None]
+        per_kind[QUADRIC_DISK] = (v_dsk, dpdu_d, dpdv_d, zero3, zero3, zero3)
+
+    if QUADRIC_CONE in kp:
+        # --- cone (shapes/cone.cpp:107-133) ---
+        h_co = p[..., 1]
+        v_con = z / jnp.where(h_co == 0, 1.0, h_co)
+        dpdu_co = jnp.stack([-phimax * y, phimax * x, zeros], -1)
+        dpdv_co = jnp.stack([-x / jnp.maximum(1.0 - v_con, 1e-6),
+                             -y / jnp.maximum(1.0 - v_con, 1e-6), h_co], -1)
+        d2pduu_co = (-phimax * phimax)[..., None] * jnp.stack([x, y, zeros], -1)
+        d2pduv_co = (phimax / jnp.maximum(1.0 - v_con, 1e-6))[..., None] * \
+            jnp.stack([y, -x, zeros], -1)
+        per_kind[QUADRIC_CONE] = (v_con, dpdu_co, dpdv_co, d2pduu_co,
+                                  d2pduv_co, zero3)
+
+    if QUADRIC_PARABOLOID in kp:
+        # --- paraboloid (shapes/paraboloid.cpp:107-137) ---
+        zmin_pa, zmax_pa = p[..., 1], p[..., 2]
+        v_par = (z - zmin_pa) / jnp.where(zmax_pa == zmin_pa, 1.0, zmax_pa - zmin_pa)
+        dpdu_pa = jnp.stack([-phimax * y, phimax * x, zeros], -1)
+        z_safe = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+        dpdv_pa = (zmax_pa - zmin_pa)[..., None] * jnp.stack(
+            [x / (2.0 * z_safe), y / (2.0 * z_safe), ones], -1)
+        d2pduu_pa = (-phimax * phimax)[..., None] * jnp.stack([x, y, zeros], -1)
+        d2pduv_pa = ((zmax_pa - zmin_pa) * phimax)[..., None] * jnp.stack(
+            [-y / (2.0 * z_safe), x / (2.0 * z_safe), zeros], -1)
+        d2pdvv_pa = (-(zmax_pa - zmin_pa) ** 2 / (4.0 * z_safe * z_safe))[..., None] * \
+            jnp.stack([x, y, zeros], -1)
+        per_kind[QUADRIC_PARABOLOID] = (v_par, dpdu_pa, dpdv_pa, d2pduu_pa,
+                                        d2pduv_pa, d2pdvv_pa)
+
+    if QUADRIC_HYPERBOLOID in kp:
+        # --- hyperboloid (shapes/hyperboloid.cpp:128-167) ---
+        # params: [a, c, p1z, p1x, p1y, p2z, phimax, _] — builder packing.
+        p1z = p[..., 2]
+        p2z = p[..., 5]
+        v_hyp = (z - p1z) / jnp.where(p2z == p1z, 1.0, p2z - p1z)
+        dpdu_h = jnp.stack([-phimax * y, phimax * x, zeros], -1)
+        # dpdv as the surface tangent orthogonal to dpdu from the implicit
+        # gradient of F = a(x^2+y^2) - c z^2 - 1 (exact surface tangent).
+        a_h, c_h = p[..., 0], p[..., 1]
+        grad = jnp.stack([2 * a_h * x, 2 * a_h * y, -2 * c_h * z], -1)
+        dpdv_h = vm.cross(grad, dpdu_h)
+        dpdv_h = vm.normalize(dpdv_h) * jnp.where(
+            p2z == p1z, 1.0, jnp.abs(p2z - p1z))[..., None]
+        d2pduu_h = (-phimax * phimax)[..., None] * jnp.stack([x, y, zeros], -1)
+        per_kind[QUADRIC_HYPERBOLOID] = (v_hyp, dpdu_h, dpdv_h, d2pduu_h,
+                                         zero3, zero3)
+
+    items = [(kt, per_kind[kt]) for kt in kp if kt in per_kind]
+    v, dpdu, dpdv, d2pduu, d2pduv, d2pdvv = items[0][1]
+    for kt, vals in items[1:]:
+        m1 = kind == kt
+        m3 = m1[..., None]
+        v = jnp.where(m1, vals[0], v)
+        dpdu = jnp.where(m3, vals[1], dpdu)
+        dpdv = jnp.where(m3, vals[2], dpdv)
+        d2pduu = jnp.where(m3, vals[3], d2pduu)
+        d2pduv = jnp.where(m3, vals[4], d2pduv)
+        d2pdvv = jnp.where(m3, vals[5], d2pdvv)
 
     # Weingarten equations -> dndu/dndv (shapes/sphere.cpp:168-189).
     E = vm.dot(dpdu, dpdu)
