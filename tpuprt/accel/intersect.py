@@ -50,6 +50,10 @@ def _brute_force(scene: SceneData, o, d, mint, maxt):
 def intersect_ids(scene: SceneData, o, d, mint, maxt):
     """Nearest-hit (t, prim_id, hit) without differential geometry."""
     if scene.accel is not None:
+        from ..scene.data import KdTreeAccel
+        if isinstance(scene.accel, KdTreeAccel):
+            from . import kdtree as kd_mod
+            return kd_mod.intersect(scene, o, d, mint, maxt)
         from . import grid as grid_mod
         return grid_mod.intersect(scene, o, d, mint, maxt)
     return _brute_force(scene, o, d, mint, maxt)
@@ -57,6 +61,13 @@ def intersect_ids(scene: SceneData, o, d, mint, maxt):
 
 def occluded(scene: SceneData, o, d, mint, maxt):
     """Any-hit shadow-ray predicate (Scene::IntersectP)."""
+    if scene.accel is not None:
+        from ..scene.data import KdTreeAccel
+        if isinstance(scene.accel, KdTreeAccel):
+            from . import kdtree as kd_mod
+            _, _, hit = kd_mod.intersect(scene, o, d, mint, maxt,
+                                         any_hit=True)
+            return hit
     _, _, hit = intersect_ids(scene, o, d, mint, maxt)
     return hit
 

@@ -141,6 +141,7 @@ def train_step_sharded(scene: SceneData, opts: R.RenderOptions, target,
     params, rebuild, treedef, is_float = split_float_params(scene)
     leaves_static = jax.tree.flatten(scene)[0]
 
+    @jax.jit  # jit so the persistent compilation cache applies
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(P(), P(), P(axis), P(axis), P(axis), P()),
              out_specs=(P(), P()))

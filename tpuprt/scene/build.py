@@ -590,6 +590,15 @@ class SceneBuilder:
             (self.accel_kind == "auto" and nprims > 64)
         if want and nprims > 0:
             import dataclasses
-            from ..accel.grid_build import build_grid
-            scene = dataclasses.replace(scene, accel=build_grid(scene))
+            if self.accel_kind == "kdtree" or (
+                    self.accel_kind == "auto" and nprims > 4096):
+                from ..accel.kdtree_build import build_kdtree
+                kw = {k: v for k, v in self.accel_params.items()
+                      if k in ("isect_cost", "trav_cost", "empty_bonus",
+                               "max_prims", "max_depth")}
+                scene = dataclasses.replace(scene,
+                                            accel=build_kdtree(scene, **kw))
+            else:
+                from ..accel.grid_build import build_grid
+                scene = dataclasses.replace(scene, accel=build_grid(scene))
         return scene

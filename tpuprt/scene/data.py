@@ -234,6 +234,25 @@ class GridAccel:
 
 
 @pytree_dataclass
+class KdTreeAccel:
+    """SAH kd-tree accelerator as flat SoA node columns (built host-side by
+    the native builder, tpuprt/native/csrc/kdtree_build.cpp — the analogue
+    of /root/reference/accelerators/kdtree.cpp:141-311). Traversal is the
+    stackless kd-restart walk in accel/kdtree.py: per-lane stacks scatter
+    poorly on a vector machine, so lanes re-descend from the root with an
+    advancing [tmin, tmax] window instead (no divergence, pure gathers)."""
+    bounds_lo: jnp.ndarray = None   # f32[3]
+    bounds_hi: jnp.ndarray = None   # f32[3]
+    node_flags: jnp.ndarray = None  # i32[NN]: 0/1/2 split axis, 3 leaf
+    node_split: jnp.ndarray = None  # f32[NN]
+    node_above: jnp.ndarray = None  # i32[NN]: above child / leaf prim offset
+    node_nprims: jnp.ndarray = None # i32[NN]: leaf prim count
+    prim_ids: jnp.ndarray = None    # i32[P]
+    max_depth: int = static(default=1)       # deepest node (descend bound)
+    max_leaf_prims: int = static(default=1)  # widest leaf (test-loop bound)
+
+
+@pytree_dataclass
 class SceneData:
     quadrics: QuadricTable = None
     triangles: TriangleTable = None

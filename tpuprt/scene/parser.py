@@ -303,6 +303,17 @@ class PbrtParser:
             self.accel_name = ts.next()[1]
             self.accel_params = ParamSet(parse_params(ts))
             self.builder.accel_kind = self.accel_name
+            # kd-tree SAH knobs (accelerators/kdtree.cpp:489-498).
+            for src, dst in (("intersectcost", "isect_cost"),
+                             ("traversalcost", "trav_cost"),
+                             ("emptybonus", "empty_bonus"),
+                             ("maxprims", "max_prims"),
+                             ("maxdepth", "max_depth")):
+                v = self.accel_params.find_one(src, None)
+                if v is not None:
+                    self.builder.accel_params[dst] = (
+                        int(v) if dst in ("max_prims", "max_depth")
+                        else float(v))
         elif name == "SearchPath":
             _parse_value_list(ts)  # plugin paths are meaningless here
         elif name == "Material":
