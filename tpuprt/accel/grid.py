@@ -29,8 +29,7 @@ def _test_prims(scene: SceneData, pid, o, d, mint, maxt, active):
     if nq:
         qid = jnp.clip(pid, 0, nq - 1)
         tq, vq = quadrics.intersect_gathered(
-            scene.quadrics.kind[qid], scene.quadrics.w2o[qid],
-            scene.quadrics.params[qid], o, d, mint, maxt,
+            scene.quadrics, qid, o, d, mint, maxt,
             scene.quadrics.kinds_present or quadrics.ALL_QUADRIC_KINDS)
         is_q = pid < nq
         t_out = jnp.where(is_q, tq, t_out)

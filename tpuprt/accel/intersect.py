@@ -121,6 +121,87 @@ def hit_geometry(scene: SceneData, prim_id, o, d, t):
     return dg
 
 
+def hit_geometry_light(scene: SceneData, prim_id, o, d, t):
+    """Cheap hit record for light-identification rays: p, nn (geometric,
+    flip applied), area_light, material. Skips u/v, tangents and all
+    derivative terms — EstimateDirect's BSDF-strategy ray
+    (core/transport.cpp:166-188) only needs emission geometry, and the full
+    DifferentialGeometry costs ~6x more (transcendentals + extra gathers).
+    """
+    from ..core import vecmath as vm
+    from ..core import transform as tf
+    from ..scene.data import (QUADRIC_SPHERE, QUADRIC_CYLINDER, QUADRIC_DISK,
+                              QUADRIC_CONE, QUADRIC_PARABOLOID)
+    nq = scene.quadrics.count
+    nt = scene.triangles.count
+    pid = jnp.maximum(prim_id, 0)
+    p = o + t[..., None] * d
+
+    def tri_nn(tid):
+        p0, p1, p2 = triangle.gather_verts(scene.triangles, tid)
+        nn = vm.normalize(vm.cross(p1 - p0, p2 - p0))
+        return nn * scene.triangles.flip_normal[tid][..., None]
+
+    def quad_nn(qid):
+        # Normal from the implicit-surface gradient at the object-space hit
+        # (no trig, unlike the full parametric DG).
+        q = scene.quadrics
+        w2o_c = tf.row_components(q.w2o, qid)
+        kindq = q.kind[qid]
+        prm = q.params[qid]
+        ph = tf.rows_apply_point(w2o_c, p)
+        x, y, z = ph[..., 0], ph[..., 1], ph[..., 2]
+        zeros = jnp.zeros_like(x)
+        kp = q.kinds_present or quadrics.ALL_QUADRIC_KINDS
+        grad = jnp.stack([x, y, z], -1)  # sphere default
+        if QUADRIC_CYLINDER in kp:
+            grad = jnp.where((kindq == QUADRIC_CYLINDER)[..., None],
+                             jnp.stack([x, y, zeros], -1), grad)
+        if QUADRIC_DISK in kp:
+            grad = jnp.where((kindq == QUADRIC_DISK)[..., None],
+                             jnp.stack([zeros, zeros, jnp.ones_like(x)], -1),
+                             grad)
+        if QUADRIC_CONE in kp:
+            r_co, h_co = prm[..., 0], prm[..., 1]
+            k_co = (r_co / jnp.where(h_co == 0, 1.0, h_co)) ** 2
+            grad = jnp.where((kindq == QUADRIC_CONE)[..., None],
+                             jnp.stack([x, y, -k_co * (z - h_co)], -1), grad)
+        if QUADRIC_PARABOLOID in kp:
+            r_pa, zmax_pa = prm[..., 0], prm[..., 2]
+            k_pa = zmax_pa / jnp.where(r_pa == 0, 1.0, r_pa * r_pa)
+            grad = jnp.where((kindq == QUADRIC_PARABOLOID)[..., None],
+                             jnp.stack([2 * k_pa * x, 2 * k_pa * y,
+                                        -jnp.ones_like(x)], -1), grad)
+        if 5 in kp:  # hyperboloid
+            a_h, c_h = prm[..., 0], prm[..., 1]
+            grad = jnp.where((kindq == 5)[..., None],
+                             jnp.stack([a_h * x, a_h * y, -c_h * z], -1),
+                             grad)
+        nn = vm.normalize(tf.rows_apply_normal(w2o_c, grad))
+        return nn * q.flip_normal[qid][..., None]
+
+    if nq and nt:
+        is_tri = pid >= nq
+        qid = jnp.clip(pid, 0, nq - 1)
+        tid = jnp.clip(pid - nq, 0, nt - 1)
+        nn = jnp.where(is_tri[..., None], tri_nn(tid), quad_nn(qid))
+        area_light = jnp.where(is_tri, scene.triangles.area_light[tid],
+                               scene.quadrics.area_light[qid])
+        material = jnp.where(is_tri, scene.triangles.material[tid],
+                             scene.quadrics.material[qid])
+    elif nt:
+        tid = jnp.clip(pid - nq, 0, nt - 1)
+        nn = tri_nn(tid)
+        area_light = scene.triangles.area_light[tid]
+        material = scene.triangles.material[tid]
+    else:
+        qid = jnp.clip(pid, 0, max(nq - 1, 0))
+        nn = quad_nn(qid)
+        area_light = scene.quadrics.area_light[qid]
+        material = scene.quadrics.material[qid]
+    return dict(p=p, nn=nn, area_light=area_light, material=material)
+
+
 def _norm(v):
     from ..core import vecmath as vm
     return vm.normalize(v)

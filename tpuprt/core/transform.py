@@ -163,6 +163,66 @@ def apply_ray(m, o, d):
     return apply_point(m, o), apply_vector(m, d)
 
 
+# ---------------------------------------------------------------------------
+# Per-lane gathered transforms, SoA. `table[idx]` producing f32[N,4,4] is
+# layout-poison on TPU: the minor 4x4 block fills 32/1024 of a vreg tile and
+# every m[..., i, j] read is a relayout (measured 15ms for apply_point at
+# N=128K on v5e vs 0.5ms this way). Instead materialize the 16 matrix
+# components as separate f32[N] arrays: for small tables (the common case —
+# scenes have a handful of object transforms) select each scalar over the
+# table; for big tables gather one flat [N,16] row and slice columns.
+# ---------------------------------------------------------------------------
+
+_SELECT_LIMIT = 16
+
+
+def row_components(table, idx, limit=_SELECT_LIMIT):
+    """table f32[Q,4,4], idx i32[N] -> nested list c[i][j] of f32[N]."""
+    q_count = table.shape[0]
+    if q_count <= limit:
+        comps = []
+        for i in range(4):
+            row = []
+            for j in range(4):
+                c = jnp.broadcast_to(table[0, i, j], idx.shape)
+                for q in range(1, q_count):
+                    c = jnp.where(idx == q, table[q, i, j], c)
+                row.append(c)
+            comps.append(row)
+        return comps
+    flat = table.reshape(q_count, 16)[idx]          # [N, 16] single gather
+    return [[flat[:, 4 * i + j] for j in range(4)] for i in range(4)]
+
+
+def rows_apply_point(c, p):
+    x, y, z = p[..., 0], p[..., 1], p[..., 2]
+    rx = c[0][0] * x + c[0][1] * y + c[0][2] * z + c[0][3]
+    ry = c[1][0] * x + c[1][1] * y + c[1][2] * z + c[1][3]
+    rz = c[2][0] * x + c[2][1] * y + c[2][2] * z + c[2][3]
+    w = c[3][0] * x + c[3][1] * y + c[3][2] * z + c[3][3]
+    r = jnp.stack([rx, ry, rz], axis=-1)
+    return r / jnp.where(jnp.abs(w[..., None]) < 1e-30, 1.0, w[..., None])
+
+
+def rows_apply_vector(c, v):
+    x, y, z = v[..., 0], v[..., 1], v[..., 2]
+    return jnp.stack([
+        c[0][0] * x + c[0][1] * y + c[0][2] * z,
+        c[1][0] * x + c[1][1] * y + c[1][2] * z,
+        c[2][0] * x + c[2][1] * y + c[2][2] * z,
+    ], axis=-1)
+
+
+def rows_apply_normal(c_inv, n):
+    """Normals use the inverse transpose: pass the INVERSE's components."""
+    x, y, z = n[..., 0], n[..., 1], n[..., 2]
+    return jnp.stack([
+        c_inv[0][0] * x + c_inv[1][0] * y + c_inv[2][0] * z,
+        c_inv[0][1] * x + c_inv[1][1] * y + c_inv[2][1] * z,
+        c_inv[0][2] * x + c_inv[1][2] * y + c_inv[2][2] * z,
+    ], axis=-1)
+
+
 def swaps_handedness(m) -> bool:
     """det of upper-left 3x3 < 0 (core/transform.cpp SwapsHandedness)."""
     return bool(np.linalg.det(np.asarray(m)[:3, :3]) < 0.0)

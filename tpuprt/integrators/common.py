@@ -85,7 +85,7 @@ def estimate_direct(scene: SceneData, light_id, p, n, wo, bsdf: B.BsdfBatch,
     t2, pid2, hit2 = isect.intersect_ids(
         scene, p, wi2, jnp.full(bpdf.shape, _EPS),
         jnp.full(bpdf.shape, 1e30))
-    dg2 = isect.hit_geometry(scene, pid2, p, wi2, t2)
+    dg2 = isect.hit_geometry_light(scene, pid2, p, wi2, t2)
     hit_is_light = hit2 & (dg2["area_light"] == light_id) & \
         (kind == LIGHT_AREA)
     Li2 = jnp.where(hit_is_light[..., None],

@@ -89,7 +89,9 @@ def _projection_factor(scene: SceneData, light_id, w_world):
     lights = scene.lights
     g = lambda a: a[light_id]
     kind = g(lights.kind)
-    wl = tf.apply_vector(g(lights.w2l), w_world)
+    # SoA matrix components: gathered [N,4,4] is a TPU layout hazard.
+    wl = tf.rows_apply_vector(tf.row_components(lights.w2l, light_id),
+                              w_world)
     fac = jnp.ones(w_world.shape[:-1] + (3,), jnp.float32)
 
     # Spot falloff (lights/spot.cpp:67-78); params: [cosTotalWidth, cosFalloff]
@@ -166,8 +168,7 @@ def sample(scene: SceneData, light_id, p, n, u1, u2, u3):
     g = lambda a: a[light_id]
     kind = g(lights.kind)
     I = g(lights.spectrum)
-    l2w = g(lights.l2w)
-    light_pos = l2w[..., :3, 3]
+    light_pos = lights.l2w[:, :3, 3][light_id]  # [L,3] table gather
     kp = lights.kinds_present or (0, 1, 2, 3, 4, 5, 6)
     has_delta_pos = any(k in kp for k in (LIGHT_POINT, LIGHT_SPOT,
                                           LIGHT_PROJECTION,
@@ -202,8 +203,7 @@ def sample(scene: SceneData, light_id, p, n, u1, u2, u3):
         # Sphere cone sampling (shapes/sphere.cpp:45-79).
         qid = jnp.clip(g(lights.area_first), 0,
                        max(scene.quadrics.count - 1, 0))
-        q_o2w = scene.quadrics.o2w[qid]
-        center = q_o2w[..., :3, 3]
+        center = scene.quadrics.o2w[:, :3, 3][qid]
         radius = scene.quadrics.params[qid][..., 0]
         to_c = center - p
         dc2 = jnp.maximum(vm.length_sq(to_c), 1e-12)
@@ -310,7 +310,7 @@ def pdf(scene: SceneData, light_id, p, n, wi):
                     vm.absdot(n, wi) * mc.INV_TWOPI, out)
     # Area sphere: cone pdf.
     qid = jnp.clip(g(lights.area_first), 0, max(scene.quadrics.count - 1, 0))
-    center = scene.quadrics.o2w[qid][..., :3, 3]
+    center = scene.quadrics.o2w[:, :3, 3][qid]
     radius = scene.quadrics.params[qid][..., 0]
     dc2 = jnp.maximum(vm.length_sq(center - p), 1e-12)
     cos_max = jnp.sqrt(jnp.maximum(1e-12, 1.0 - radius * radius / dc2))

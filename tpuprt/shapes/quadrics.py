@@ -154,16 +154,21 @@ def intersect(quad: QuadricTable, o, d, mint, maxt):
     return t, valid
 
 
-def intersect_gathered(kind, w2o, params, o, d, mint, maxt,
+def intersect_gathered(quad: QuadricTable, qid, o, d, mint, maxt,
                        kinds_present=ALL_QUADRIC_KINDS):
-    """Per-lane single-quadric test with pre-gathered rows.
+    """Per-lane single-quadric test.
 
-    kind i32[N], w2o f32[N,4,4], params f32[N,8]; o/d world rays f32[N,3].
+    qid i32[N] row indices; o/d world rays f32[N,3].
     Returns (t f32[N], valid bool[N]) — used by accelerator traversal where
-    each lane tests one candidate prim per step.
+    each lane tests one candidate prim per step. Matrices go through the
+    SoA row-component path (transform.py) — gathered [N,4,4] arrays are a
+    TPU layout hazard.
     """
-    oo = tf.apply_point(w2o, o)
-    od = tf.apply_vector(w2o, d)
+    kind = quad.kind[qid]
+    params = quad.params[qid]
+    w2o_c = tf.row_components(quad.w2o, qid)
+    oo = tf.rows_apply_point(w2o_c, o)
+    od = tf.rows_apply_vector(w2o_c, d)
     A, B, C = _coeffs(kind, params, oo, od, kinds_present)
     is_linear = kind == QUADRIC_DISK
     okq, t0, t1 = vm.quadratic(A, B, C)
@@ -190,13 +195,13 @@ def differential_geometry(quad: QuadricTable, qid, o, d, t):
     (core/shape.cpp:49-50).
     """
     g = lambda a: a[qid]
-    w2o = g(quad.w2o)
-    o2w = g(quad.o2w)
+    w2o_c = tf.row_components(quad.w2o, qid)
+    o2w_c = tf.row_components(quad.o2w, qid)
     kind = g(quad.kind)
     p = g(quad.params)
 
-    oo = tf.apply_point(w2o, o)
-    od = tf.apply_vector(w2o, d)
+    oo = tf.rows_apply_point(w2o_c, o)
+    od = tf.rows_apply_vector(w2o_c, d)
     ph = oo + t[..., None] * od  # object-space hit
     x, y, z = ph[..., 0], ph[..., 1], ph[..., 2]
 
@@ -327,11 +332,11 @@ def differential_geometry(quad: QuadricTable, qid, o, d, t):
            ((f * F - gg * E) * inv_egf2)[..., None] * dpdv
 
     # To world space; normal via inverse transpose (core/shape.cpp:49-50 flip).
-    pw = tf.apply_point(o2w, ph)
-    dpdu_w = tf.apply_vector(o2w, dpdu)
-    dpdv_w = tf.apply_vector(o2w, dpdv)
-    dndu_w = tf.apply_normal(w2o, dndu)
-    dndv_w = tf.apply_normal(w2o, dndv)
+    pw = tf.rows_apply_point(o2w_c, ph)
+    dpdu_w = tf.rows_apply_vector(o2w_c, dpdu)
+    dpdv_w = tf.rows_apply_vector(o2w_c, dpdv)
+    dndu_w = tf.rows_apply_normal(w2o_c, dndu)
+    dndv_w = tf.rows_apply_normal(w2o_c, dndv)
     nn = vm.normalize(vm.cross(dpdu_w, dpdv_w))
     flip = g(quad.flip_normal)
     nn = nn * flip[..., None]
