@@ -22,7 +22,13 @@ from .grid_build import _prim_bounds
 
 def _build_numpy(lo, hi, isect_cost, trav_cost, empty_bonus, max_prims,
                  max_depth):
-    """Pure-NumPy SAH build: same algorithm as the native builder."""
+    """Pure-NumPy SAH build: same algorithm as the native builder.
+
+    Nodes are allocated in DFS-preorder so the below child is always
+    node+1 and node_above is patched after the below subtree completes
+    (matching the recursion of kdtree.cpp:300-311); empty children are
+    created, never collapsed into a parent leaf (kdtree.cpp:292-311 —
+    the empty-space bonus rewards exactly those splits)."""
     n = len(lo)
     if max_depth <= 0:
         max_depth = int(round(8 + 1.3 * math.log2(max(n, 2))))
@@ -33,13 +39,6 @@ def _build_numpy(lo, hi, isect_cost, trav_cost, empty_bonus, max_prims,
     max_leaf = [0]
     max_depth_seen = [0]
 
-    def new_node():
-        node_flags.append(3)
-        node_split.append(0.0)
-        node_above.append(0)
-        node_nprims.append(0)
-        return len(node_flags) - 1
-
     def make_leaf(node, prims):
         node_flags[node] = 3
         node_above[node] = len(prim_ids)
@@ -47,46 +46,65 @@ def _build_numpy(lo, hi, isect_cost, trav_cost, empty_bonus, max_prims,
         prim_ids.extend(int(p) for p in prims)
         max_leaf[0] = max(max_leaf[0], len(prims))
 
-    # Iterative DFS; below child always allocated immediately after parent.
-    root = new_node()
+    # Worklist DFS with preorder node ids: each popped task allocates the
+    # next node index, so pushing the below child last (popped first) makes
+    # below == node+1 by construction; the above child's id is unknown until
+    # the whole below subtree is built, so the task carries the parent index
+    # to patch (`patch`) and fills node_above[parent] when popped.
     blo = lo.min(0)
     bhi = hi.max(0)
-    stack = [(root, blo, bhi, np.arange(n), 0, 0)]
+    stack = [(blo, bhi, np.arange(n), 0, 0, -1)]
     while stack:
-        node, nblo, nbhi, prims, depth, bad = stack.pop()
+        nblo, nbhi, prims, depth, bad, patch = stack.pop()
+        node = len(node_flags)
+        node_flags.append(3)
+        node_split.append(0.0)
+        node_above.append(0)
+        node_nprims.append(0)
+        if patch >= 0:
+            node_above[patch] = node
         max_depth_seen[0] = max(max_depth_seen[0], depth)
         np_ = len(prims)
         if np_ <= max_prims or depth >= max_depth:
             make_leaf(node, prims)
             continue
 
-        d = nbhi - nblo
-        inv_sa = 1.0 / max(2.0 * (d[0] * d[1] + d[0] * d[2] + d[1] * d[2]),
-                           1e-30)
+        d = (nbhi - nblo).astype(np.float32)
+        inv_sa = np.float32(1.0) / np.float32(
+            max(2.0 * (d[0] * d[1] + d[0] * d[2] + d[1] * d[2]), 1e-30))
         old_cost = isect_cost * np_
         best = (1e30, -1, 0.0)  # cost, axis, t
         axis0 = int(np.argmax(d))
         for attempt in range(3):
             axis = (axis0 + attempt) % 3
-            # Edge list: (t, is_start) sorted by t then start-after-end.
+            # Edge list sorted by t, starts before ends at ties
+            # (BoundEdge::operator<, kdtree.cpp: START(0) < END(1)).
             starts = lo[prims, axis]
             ends = hi[prims, axis]
             ts = np.concatenate([starts, ends])
             is_start = np.concatenate([np.ones(np_, bool),
                                        np.zeros(np_, bool)])
-            order = np.lexsort((~is_start, ts))  # ends before starts at ties
+            order = np.lexsort(((~is_start).astype(np.int8), ts))
             ts = ts[order]
             is_start = is_start[order]
-            n_below = np.cumsum(is_start) - is_start     # before this edge
+            n_below = (np.cumsum(is_start) - is_start)   # before this edge
             n_above = np_ - (np.cumsum(~is_start))       # after this edge
             o0, o1 = (axis + 1) % 3, (axis + 2) % 3
             valid = (ts > nblo[axis]) & (ts < nbhi[axis])
-            sa_b = 2.0 * (d[o0] * d[o1] + (ts - nblo[axis]) * (d[o0] + d[o1]))
-            sa_a = 2.0 * (d[o0] * d[o1] + (nbhi[axis] - ts) * (d[o0] + d[o1]))
-            eb = np.where((n_above == 0) | (n_below == 0), empty_bonus, 0.0)
-            cost = trav_cost + isect_cost * (1.0 - eb) * inv_sa * \
-                (sa_b * n_below + sa_a * n_above)
-            cost = np.where(valid, cost, 1e30)
+            # f32 arithmetic in the same association as the native builder
+            # so both produce bit-identical trees (tested in test_kdtree).
+            two = np.float32(2.0)
+            sa_b = two * (d[o0] * d[o1] + (ts - nblo[axis]) * (d[o0] + d[o1]))
+            sa_a = two * (d[o0] * d[o1] + (nbhi[axis] - ts) * (d[o0] + d[o1]))
+            pb = sa_b * inv_sa
+            pa = sa_a * inv_sa
+            eb = np.where((n_above == 0) | (n_below == 0),
+                          np.float32(empty_bonus), np.float32(0.0))
+            cost = np.float32(trav_cost) + np.float32(isect_cost) * \
+                (np.float32(1.0) - eb) * \
+                (pb * n_below.astype(np.float32) +
+                 pa * n_above.astype(np.float32))
+            cost = np.where(valid, cost, np.float32(1e30))
             i = int(np.argmin(cost))
             if cost[i] < best[0]:
                 best = (float(cost[i]), axis, float(ts[i]))
@@ -99,26 +117,22 @@ def _build_numpy(lo, hi, isect_cost, trav_cost, empty_bonus, max_prims,
                 bad == 3:
             make_leaf(node, prims)
             continue
-        below = prims[lo[prims, best_axis] < best_t]
-        above = prims[hi[prims, best_axis] > best_t]
-        if len(below) == 0 or len(above) == 0:
-            make_leaf(node, prims)
-            continue
+        # Geometric split classification (kdtree.cpp:292-299): straddlers go
+        # to both sides; planar prims exactly on the plane go below.
+        plo = lo[prims, best_axis]
+        phi = hi[prims, best_axis]
+        below = prims[(plo < best_t) | (phi <= best_t)]
+        above = prims[phi > best_t]
 
-        bnode = new_node()
-        anode = new_node()
-        assert bnode == node + 1
         node_flags[node] = best_axis
         node_split[node] = best_t
-        node_above[node] = anode
-        blo_b, bhi_b = nblo.copy(), nbhi.copy()
+        bhi_b = nbhi.copy()
         bhi_b[best_axis] = best_t
-        blo_a, bhi_a = nblo.copy(), nbhi.copy()
+        blo_a = nblo.copy()
         blo_a[best_axis] = best_t
-        # below pushed last -> processed next -> occupies node+1 subtree
-        # contiguously (DFS preorder).
-        stack.append((anode, blo_a, bhi_a, above, depth + 1, bad))
-        stack.append((bnode, blo_b, bhi_b, below, depth + 1, bad))
+        # below pushed last -> popped next -> node+1, preorder.
+        stack.append((blo_a, nbhi, above, depth + 1, bad, node))
+        stack.append((nblo, bhi_b, below, depth + 1, bad, -1))
 
     return (np.asarray(node_flags, np.int32), np.asarray(node_split,
                                                          np.float32),

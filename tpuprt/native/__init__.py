@@ -38,8 +38,8 @@ def load(name: str):
             os.makedirs(_BUILD, exist_ok=True)
             tmp = so + ".tmp"
             subprocess.run(
-                ["g++", "-O3", "-march=native", "-std=c++17", "-shared",
-                 "-fPIC", src, "-o", tmp],
+                ["g++", "-O3", "-march=native", "-ffp-contract=off",
+                 "-std=c++17", "-shared", "-fPIC", src, "-o", tmp],
                 check=True, capture_output=True)
             os.replace(tmp, so)
         lib = ctypes.CDLL(so)

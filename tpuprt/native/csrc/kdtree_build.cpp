@@ -27,12 +27,12 @@ struct Edge {
 };
 
 struct Task {
-  int node;        // node index to fill in
   float blo[3];    // node bounds
   float bhi[3];
   int first, count;  // span into the per-task prim scratch
   int depth;
   int bad_refines;
+  int patch;  // parent node whose node_above <- this task's node id (-1: none)
 };
 
 inline float surface_area(const float lo[3], const float hi[3]) {
@@ -81,7 +81,7 @@ int tpuprt_kdtree_build(int n, const float* lo, const float* hi,
   std::vector<Task> stack;
   {
     Task root;
-    root.node = n_nodes++;
+    root.patch = -1;
     for (int a = 0; a < 3; ++a) {
       float mn = 1e30f, mx = -1e30f;
       for (int i = 0; i < n; ++i) {
@@ -105,16 +105,23 @@ int tpuprt_kdtree_build(int n, const float* lo, const float* hi,
   while (!stack.empty()) {
     Task t = stack.back();
     stack.pop_back();
+    // Preorder node allocation: the below child is pushed last, popped
+    // next, and therefore numbered node+1; the above child's id becomes
+    // known only after the below subtree drains, so it patches its parent
+    // on pop (the recursion order of kdtree.cpp:300-311, flattened).
+    if (n_nodes >= node_cap) return -1;
+    const int node = n_nodes++;
+    if (t.patch >= 0) node_above[t.patch] = node;
     max_depth_seen = std::max(max_depth_seen, t.depth);
     const int* prims = pool.data() + t.first;
     int np = t.count;
 
     auto make_leaf = [&]() -> bool {
       if (n_ids + np > idx_cap) return false;
-      node_flags[t.node] = 3;
-      node_split[t.node] = 0.f;
-      node_above[t.node] = n_ids;
-      node_nprims[t.node] = np;
+      node_flags[node] = 3;
+      node_split[node] = 0.f;
+      node_above[node] = n_ids;
+      node_nprims[node] = np;
       // NOTE: `prims` may dangle if pool reallocated — copy via offset.
       for (int i = 0; i < np; ++i) prim_ids[n_ids + i] = pool[t.first + i];
       n_ids += np;
@@ -129,7 +136,7 @@ int tpuprt_kdtree_build(int n, const float* lo, const float* hi,
 
     // SAH sweep: best (axis, edge) minimizing cost, retrying other axes
     // when an axis yields no valid split.
-    float inv_total_sa = 1.f / surface_area(t.blo, t.bhi);
+    float inv_total_sa = 1.f / std::max(surface_area(t.blo, t.bhi), 1e-30f);
     float d[3] = {t.bhi[0] - t.blo[0], t.bhi[1] - t.blo[1],
                   t.bhi[2] - t.blo[2]};
     float best_cost = 1e30f;
@@ -151,8 +158,9 @@ int tpuprt_kdtree_build(int n, const float* lo, const float* hi,
         edges.push_back({lo[p * 3 + axis], p, true});
         edges.push_back({hi[p * 3 + axis], p, false});
       }
+      // Starts sort before ends at ties (BoundEdge START(0) < END(1)).
       std::sort(edges.begin(), edges.end(), [](const Edge& a, const Edge& b) {
-        if (a.t == b.t) return (int)a.start > (int)b.start ? false : a.start < b.start;
+        if (a.t == b.t) return (int)a.start > (int)b.start;
         return a.t < b.t;
       });
       int n_below = 0, n_above = np;
@@ -190,32 +198,23 @@ int tpuprt_kdtree_build(int n, const float* lo, const float* hi,
       continue;
     }
 
-    // Partition prims by the chosen plane.
+    // Partition prims by the chosen plane (kdtree.cpp:292-299): straddlers
+    // to both sides; planar prims exactly on the plane go below. Empty
+    // children are legitimate — the empty-space bonus rewards them.
     below_tmp.clear();
     above_tmp.clear();
     for (int i = 0; i < np; ++i) {
       int p = pool[t.first + i];
-      if (lo[p * 3 + best_axis] < best_t) below_tmp.push_back(p);
+      if (lo[p * 3 + best_axis] < best_t || hi[p * 3 + best_axis] <= best_t)
+        below_tmp.push_back(p);
       if (hi[p * 3 + best_axis] > best_t) above_tmp.push_back(p);
-    }
-    // Guard degenerate partitions (all on one side despite valid edge).
-    if (below_tmp.empty() || above_tmp.empty()) {
-      if (!make_leaf()) return -1;
-      continue;
     }
     (void)best_nb;
     (void)best_na;
 
-    if (n_nodes + 2 > node_cap) return -1;
-    int below_node = n_nodes++;
-    int above_node = n_nodes++;
-    node_flags[t.node] = best_axis;
-    node_split[t.node] = best_t;
-    node_above[t.node] = above_node;
-    node_nprims[t.node] = 0;
-    // Below child must be t.node's immediate successor for the traversal's
-    // below = node + 1 convention.
-    if (below_node != t.node + 1) return -1;
+    node_flags[node] = best_axis;
+    node_split[node] = best_t;
+    node_nprims[node] = 0;
 
     Task below, above;
     std::memcpy(below.blo, t.blo, sizeof t.blo);
@@ -225,8 +224,8 @@ int tpuprt_kdtree_build(int n, const float* lo, const float* hi,
     std::memcpy(above.bhi, t.bhi, sizeof t.bhi);
     above.blo[best_axis] = best_t;
 
-    below.node = below_node;
-    above.node = above_node;
+    below.patch = -1;   // below == node+1 by pop order
+    above.patch = node;
     below.depth = above.depth = t.depth + 1;
     below.bad_refines = above.bad_refines = bad;
 
