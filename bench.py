@@ -39,9 +39,9 @@ def main():
         o, d, mint, maxt, _ = cam_mod.generate_rays(
             scene.camera, cs["image_x"], cs["image_y"], cs["lens_u"],
             cs["lens_v"], cs["time"], xres, yres)
-        L, alpha, stats = path_mod.li(scene, o, d, mint, maxt, cfg, px, py,
-                                      si, opts.max_depth, 0,
-                                      collect_stats=True)
+        L, alpha, _t1, stats = path_mod.li(scene, o, d, mint, maxt, cfg,
+                                           px, py, si, opts.max_depth, 0,
+                                           collect_stats=True)
         return jnp.sum(L), stats["rays_traced"]
 
     jstep = jax.jit(step)

@@ -28,11 +28,59 @@ def shading_dg_for_hit(scene: SceneData, prim_id, o, d, t):
 
 def make_bsdf_at(scene: SceneData, dg, active=None):
     """Evaluate textures + assemble lobes at hit points (GetBSDF chain,
-    core/primitive.cpp:126-133 -> materials/*.cpp)."""
+    core/primitive.cpp:126-133 -> materials/*.cpp), bump-mapping the shading
+    frame first when any material carries a displacement texture."""
     tex_vals = _tex.eval_graph(scene.textures, scene.images, dg)
+    if scene.materials.has_bump:
+        dg = _bump(scene, dg, tex_vals)
     lobes = _factory.make_lobes(scene.materials, dg["material"], tex_vals)
     nn, sn, tn, ng = B.make_frame(dg["sn"], dg["dpdu"], dg["nn"])
     return B.BsdfBatch(nn=nn, sn=sn, tn=tn, ng=ng, lobes=lobes)
+
+
+def _bump(scene: SceneData, dg, tex_vals):
+    """Material::Bump (core/material.cpp:29-71): evaluate the displacement
+    texture at u/v-shifted points, perturb dpdu/dpdv, recompute the shading
+    normal. Lanes whose material has no bump texture pass through."""
+    bid = scene.materials.bump[dg["material"]]           # i32[B], -1 = none
+    n_nodes = tex_vals.shape[0]
+    lanes = jnp.arange(dg["u"].shape[0])
+    safe = jnp.clip(bid, 0, max(n_nodes - 1, 0))
+
+    def disp_of(tv):
+        return tv[safe, lanes, 0]
+
+    zero = jnp.zeros_like(dg["u"])
+    du = 0.5 * (jnp.abs(dg.get("dudx", zero)) + jnp.abs(dg.get("dudy", zero)))
+    du = jnp.where(du == 0.0, 0.01, du)
+    dv = 0.5 * (jnp.abs(dg.get("dvdx", zero)) + jnp.abs(dg.get("dvdy", zero)))
+    dv = jnp.where(dv == 0.0, 0.01, dv)
+
+    dg_u = dict(dg)
+    dg_u["p"] = dg["p"] + du[..., None] * dg["dpdu"]
+    dg_u["u"] = dg["u"] + du
+    dg_v = dict(dg)
+    dg_v["p"] = dg["p"] + dv[..., None] * dg["dpdv"]
+    dg_v["v"] = dg["v"] + dv
+    u_disp = disp_of(_tex.eval_graph(scene.textures, scene.images, dg_u))
+    v_disp = disp_of(_tex.eval_graph(scene.textures, scene.images, dg_v))
+    disp = disp_of(tex_vals)
+
+    dpdu_b = dg["dpdu"] + ((u_disp - disp) / du)[..., None] * dg["sn"] + \
+        disp[..., None] * dg["dndu"]
+    dpdv_b = dg["dpdv"] + ((v_disp - disp) / dv)[..., None] * dg["sn"] + \
+        disp[..., None] * dg["dndv"]
+    nb = vm.normalize(vm.cross(dpdu_b, dpdv_b))
+    # Orient to match the geometric normal (material.cpp:63-70; the
+    # handedness flip is already baked into dg["nn"] at hit_geometry).
+    nb = jnp.where((vm.dot(dg["nn"], nb) < 0.0)[..., None], -nb, nb)
+
+    has = (bid >= 0)[..., None]
+    out = dict(dg)
+    out["sn"] = jnp.where(has, nb, dg["sn"])
+    out["dpdu"] = jnp.where(has, dpdu_b, dg["dpdu"])
+    out["dpdv"] = jnp.where(has, dpdv_b, dg["dpdv"])
+    return out
 
 
 def estimate_direct(scene: SceneData, light_id, p, n, wo, bsdf: B.BsdfBatch,
@@ -91,9 +139,12 @@ def estimate_direct(scene: SceneData, light_id, p, n, wo, bsdf: B.BsdfBatch,
     Li2 = jnp.where(hit_is_light[..., None],
                     lt.area_emission(scene, dg2["area_light"], dg2["nn"], -wi2),
                     0.0)
-    # Escaped ray hitting an infinite light.
+    # Escaped ray hitting THIS infinite light (transport.cpp:181-188 uses
+    # light->Le(ray), per light — summing all env lights here would double
+    # count when several are present).
     esc = ~hit2 & (kind == LIGHT_INFINITE)
-    Li2 = jnp.where(esc[..., None], lt.le_escaped(scene, wi2), Li2)
+    Li2 = jnp.where(esc[..., None], lt.env_radiance(scene, light_id, wi2),
+                    Li2)
     # Area-light pdf from the actual hit (triangle sets).
     is_tris = lights.area_geom_kind[light_id] == AREA_GEOM_TRIS
     lpdf_hit = lt.pdf_area_from_hit(scene, light_id, p, wi2,

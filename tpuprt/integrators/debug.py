@@ -42,4 +42,4 @@ def li(scene: SceneData, o, d, mint, maxt, channels=("u", "v", "hit")):
         raise ValueError(f"unknown debug channel {name}")
 
     L = jnp.stack([chan(c) for c in (list(channels) + ["zero"] * 3)[:3]], -1)
-    return L, hitf
+    return L, hitf, jnp.where(hit, t, maxt)

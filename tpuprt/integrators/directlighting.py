@@ -38,10 +38,11 @@ def li(scene: SceneData, o, d, mint, maxt, cfg: smp.SamplerConfig,
         sel_func, sel_cdf, sel_int = mc.distribution1d_build(pw)
 
     def body(carry, depth):
-        ro, rd, rmint, rmaxt, throughput, L, alive, alpha = carry
+        ro, rd, rmint, rmaxt, throughput, L, alive, alpha, t_first = carry
         first = depth == 0
 
         t, pid, hit = isect.intersect_ids(scene, ro, rd, rmint, rmaxt)
+        t_first = jnp.where(first & hit, t, t_first)
         if has_inf:
             esc = ~hit & alive
             Lesc = lt.le_escaped(scene, rd)
@@ -64,14 +65,18 @@ def li(scene: SceneData, o, d, mint, maxt, cfg: smp.SamplerConfig,
             bcs = smp.integrator_1d(cfg, px, py, s_idx, depth, 13, seed)
             ls3 = rng.uniform(ph, s_idx, depth, 16)
             if strategy == "all":
+                # Per-light sampler streams (directlighting.cpp:39-66 fills
+                # LD/stratified integrator sample arrays per light; raw hash
+                # uniforms here would forfeit the sampler's stratification).
                 Ld = jnp.zeros((n_rays, 3), jnp.float32)
                 for i in range(scene.lights.count):
                     lid = jnp.full((n_rays,), i, jnp.int32)
-                    l1 = rng.uniform(ph, s_idx, depth, i, 41)
-                    l2 = rng.uniform(ph, s_idx, depth, i, 42)
-                    b1 = rng.uniform(ph, s_idx, depth, i, 43)
-                    b2 = rng.uniform(ph, s_idx, depth, i, 44)
-                    bc = rng.uniform(ph, s_idx, depth, i, 45)
+                    l1, l2 = smp.integrator_2d(cfg, px, py, s_idx, depth,
+                                               100 + 4 * i, seed)
+                    b1, b2 = smp.integrator_2d(cfg, px, py, s_idx, depth,
+                                               101 + 4 * i, seed)
+                    bc = smp.integrator_1d(cfg, px, py, s_idx, depth,
+                                           102 + 4 * i, seed)
                     Ld = Ld + common.estimate_direct(
                         scene, lid, p, ns, wo, bsdf, l1, l2, ls3, b1, b2, bc,
                         alive)
@@ -104,7 +109,7 @@ def li(scene: SceneData, o, d, mint, maxt, cfg: smp.SamplerConfig,
         alive = cont
         return (p, bs["wi"], rmint * 0.0 + _EPS,
                 rmaxt * 0.0 + 1e30, throughput, L,
-                alive, alpha), None
+                alive, alpha, t_first), None
 
     # Carry state derived from the (possibly shard_map-varying) ray inputs
     # so lax.scan sees consistent varying axes on every component.
@@ -112,6 +117,7 @@ def li(scene: SceneData, o, d, mint, maxt, cfg: smp.SamplerConfig,
             jnp.ones_like(o),
             jnp.zeros_like(o),
             d[..., 0] * 0.0 == 0.0,
-            d[..., 0] * 0.0)
+            d[..., 0] * 0.0,
+            maxt + d[..., 0] * 0.0)
     carry, _ = jax.lax.scan(body, init, jnp.arange(max_depth + 1))
-    return carry[5], carry[7]
+    return carry[5], carry[7], carry[8]

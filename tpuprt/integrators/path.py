@@ -43,13 +43,16 @@ def li(scene: SceneData, o, d, mint, maxt, cfg: smp.SamplerConfig,
 
     def body(carry, bounce):
         (ro, rd, rmint, rmaxt, throughput, L, alive, specular, alpha,
-         n_rays_traced) = carry
+         n_rays_traced, t_first) = carry
         first = bounce == 0
         n_alive = jnp.sum(alive.astype(jnp.float32))
         # 1 intersect per alive lane; NEE adds 1 shadow + 1 BSDF-strategy ray.
         n_rays_traced = n_rays_traced + n_alive * (3.0 if has_lights else 1.0)
 
         t, pid, hit = isect.intersect_ids(scene, ro, rd, rmint, rmaxt)
+        # Camera-segment end for the driver's volume composition
+        # (core/scene.cpp:120-126) — saves the driver re-intersecting.
+        t_first = jnp.where(first & hit, t, t_first)
 
         # Per-segment volume attenuation for bounce>0 (path.cpp:89); the
         # camera segment's T is applied by the driver (core/scene.cpp:120-126)
@@ -121,7 +124,7 @@ def li(scene: SceneData, o, d, mint, maxt, cfg: smp.SamplerConfig,
         rmint = rmint * 0.0 + _EPS
         rmaxt = rmaxt * 0.0 + 1e30
         return (ro, rd, rmint, rmaxt, throughput, L, alive, specular,
-                alpha, n_rays_traced), None
+                alpha, n_rays_traced, t_first), None
 
     # Carry state derived from the (possibly shard_map-varying) ray inputs
     # so lax.scan sees consistent varying axes on every component.
@@ -131,10 +134,11 @@ def li(scene: SceneData, o, d, mint, maxt, cfg: smp.SamplerConfig,
             d[..., 0] * 0.0 == 0.0,
             d[..., 0] * 0.0 > 1.0,
             d[..., 0] * 0.0,
-            jnp.sum(d[..., 0] * 0.0))
+            jnp.sum(d[..., 0] * 0.0),
+            maxt + d[..., 0] * 0.0)
     carry, _ = jax.lax.scan(body, init, jnp.arange(max_depth + 1))
     L = carry[5]
     alpha = carry[8]
     if collect_stats:
-        return L, alpha, dict(rays_traced=carry[9])
-    return L, alpha
+        return L, alpha, carry[10], dict(rays_traced=carry[9])
+    return L, alpha, carry[10]

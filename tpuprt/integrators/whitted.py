@@ -32,10 +32,13 @@ def li(scene: SceneData, o, d, mint, maxt, cfg: smp.SamplerConfig,
     has_inf = bool(scene.lights.infinite_meta)
 
     def body(carry, depth):
-        ro, rd, rmint, rmaxt, throughput, L, alive, alpha = carry
+        ro, rd, rmint, rmaxt, throughput, L, alive, alpha, t_first = carry
         first = depth == 0
 
         t, pid, hit = isect.intersect_ids(scene, ro, rd, rmint, rmaxt)
+        # Camera-segment end for the driver's volume composition
+        # (core/scene.cpp:120-126) — saves the driver re-intersecting.
+        t_first = jnp.where(first & hit, t, t_first)
 
         # Miss: sum of light Le along the ray (whitted.cpp:52-58).
         if has_inf:
@@ -93,7 +96,8 @@ def li(scene: SceneData, o, d, mint, maxt, cfg: smp.SamplerConfig,
         rd = bs["wi"]
         rmint = rmint * 0.0 + _EPS
         rmaxt = rmaxt * 0.0 + 1e30
-        return (ro, rd, rmint, rmaxt, throughput, L, alive, alpha), None
+        return (ro, rd, rmint, rmaxt, throughput, L, alive, alpha,
+                t_first), None
 
     # Carry state derived from the (possibly shard_map-varying) ray inputs
     # so lax.scan sees consistent varying axes on every component.
@@ -101,6 +105,7 @@ def li(scene: SceneData, o, d, mint, maxt, cfg: smp.SamplerConfig,
             jnp.ones_like(o),
             jnp.zeros_like(o),
             d[..., 0] * 0.0 == 0.0,
-            d[..., 0] * 0.0)
+            d[..., 0] * 0.0,
+            maxt + d[..., 0] * 0.0)
     carry, _ = jax.lax.scan(body, init, jnp.arange(max_depth + 1))
-    return carry[5], carry[7]
+    return carry[5], carry[7], carry[8]

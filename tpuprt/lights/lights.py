@@ -42,7 +42,7 @@ def is_delta(kind):
            (kind == LIGHT_GONIOMETRIC)
 
 
-def _env_lookup(scene: SceneData, light_id, d_world):
+def env_radiance(scene: SceneData, light_id, d_world):
     """Sum over static infinite lights matching light_id: Lbase * map."""
     L = jnp.zeros(d_world.shape[:-1] + (3,), jnp.float32)
     lights = scene.lights
@@ -200,39 +200,46 @@ def sample(scene: SceneData, light_id, p, n, u1, u2, u3):
     # --- area ---
     if LIGHT_AREA in kp:
         is_quad_geom = g(lights.area_geom_kind) == AREA_GEOM_QUADRIC
-        # Sphere cone sampling (shapes/sphere.cpp:45-79).
-        qid = jnp.clip(g(lights.area_first), 0,
-                       max(scene.quadrics.count - 1, 0))
-        center = scene.quadrics.o2w[:, :3, 3][qid]
-        radius = scene.quadrics.params[qid][..., 0]
-        to_c = center - p
-        dc2 = jnp.maximum(vm.length_sq(to_c), 1e-12)
-        inside = dc2 - radius * radius < 1e-4
-        wc = to_c * jax_rsqrt(dc2)[..., None]
-        _, wcx, wcy = vm.coordinate_system(wc)
-        cos_max = jnp.sqrt(jnp.maximum(1e-12, 1.0 - radius * radius / dc2))
-        dir_cone = mc.uniform_sample_cone_frame(u1, u2, cos_max, wcx, wcy, wc)
-        # Project the cone ray onto the sphere (reference intersects;
-        # closed form here).
-        b = vm.dot(dir_cone, to_c)
-        disc = b * b - (dc2 - radius * radius)
-        thit = b - jnp.sqrt(jnp.maximum(disc, 0.0))
-        thit = jnp.where(disc > 0, thit, vm.dot(to_c, dir_cone))
-        ps_sph = p + thit[..., None] * dir_cone
-        ns_sph = vm.normalize(ps_sph - center)
-        # Inside: uniform over sphere (sphere.cpp:53-55).
-        sph_dir = mc.uniform_sample_sphere(u1, u2)
-        ps_in = center + radius[..., None] * sph_dir
-        ns_in = sph_dir
-        ps_q = jnp.where(inside[..., None], ps_in, ps_sph)
-        ns_q = jnp.where(inside[..., None], ns_in, ns_sph)
-        flipq = scene.quadrics.flip_normal[qid]
-        ns_q = ns_q * flipq[..., None]
-        pdf_q = jnp.where(
-            inside,
-            # uniform-area pdf converted below via the generic path
-            1.0 / jnp.maximum(g(lights.area_total_area), 1e-12),
-            mc.uniform_cone_pdf(cos_max))
+        if scene.quadrics.count > 0:
+            # Sphere cone sampling (shapes/sphere.cpp:45-79).
+            qid = jnp.clip(g(lights.area_first), 0, scene.quadrics.count - 1)
+            center = scene.quadrics.o2w[:, :3, 3][qid]
+            radius = scene.quadrics.params[qid][..., 0]
+            to_c = center - p
+            dc2 = jnp.maximum(vm.length_sq(to_c), 1e-12)
+            inside = dc2 - radius * radius < 1e-4
+            wc = to_c * jax_rsqrt(dc2)[..., None]
+            _, wcx, wcy = vm.coordinate_system(wc)
+            cos_max = jnp.sqrt(jnp.maximum(1e-12,
+                                           1.0 - radius * radius / dc2))
+            dir_cone = mc.uniform_sample_cone_frame(u1, u2, cos_max, wcx,
+                                                    wcy, wc)
+            # Project the cone ray onto the sphere (reference intersects;
+            # closed form here).
+            b = vm.dot(dir_cone, to_c)
+            disc = b * b - (dc2 - radius * radius)
+            thit = b - jnp.sqrt(jnp.maximum(disc, 0.0))
+            thit = jnp.where(disc > 0, thit, vm.dot(to_c, dir_cone))
+            ps_sph = p + thit[..., None] * dir_cone
+            ns_sph = vm.normalize(ps_sph - center)
+            # Inside: uniform over sphere (sphere.cpp:53-55).
+            sph_dir = mc.uniform_sample_sphere(u1, u2)
+            ps_in = center + radius[..., None] * sph_dir
+            ns_in = sph_dir
+            ps_q = jnp.where(inside[..., None], ps_in, ps_sph)
+            ns_q = jnp.where(inside[..., None], ns_in, ns_sph)
+            flipq = scene.quadrics.flip_normal[qid]
+            ns_q = ns_q * flipq[..., None]
+            pdf_q = jnp.where(
+                inside,
+                # uniform-area pdf converted below via the generic path
+                1.0 / jnp.maximum(g(lights.area_total_area), 1e-12),
+                mc.uniform_cone_pdf(cos_max))
+        else:
+            inside = jnp.zeros(p.shape[:-1], bool)
+            ps_q = p
+            ns_q = zeros3
+            pdf_q = zeros1
 
         # Triangles.
         if scene.triangles.count > 0:
@@ -267,7 +274,7 @@ def sample(scene: SceneData, light_id, p, n, u1, u2, u3):
         _, v1, v2 = vm.coordinate_system(nf)
         wi_inf = x[..., None] * v1 + y[..., None] * v2 + z[..., None] * nf
         pdf_inf = jnp.abs(z) * mc.INV_TWOPI
-        Li_inf = _env_lookup(scene, light_id, wi_inf)
+        Li_inf = env_radiance(scene, light_id, wi_inf)
     else:
         wi_inf = zeros3
         Li_inf = zeros3
@@ -308,14 +315,17 @@ def pdf(scene: SceneData, light_id, p, n, wi):
     # Infinite.
     out = jnp.where(kind == LIGHT_INFINITE,
                     vm.absdot(n, wi) * mc.INV_TWOPI, out)
-    # Area sphere: cone pdf.
-    qid = jnp.clip(g(lights.area_first), 0, max(scene.quadrics.count - 1, 0))
-    center = scene.quadrics.o2w[:, :3, 3][qid]
-    radius = scene.quadrics.params[qid][..., 0]
-    dc2 = jnp.maximum(vm.length_sq(center - p), 1e-12)
-    cos_max = jnp.sqrt(jnp.maximum(1e-12, 1.0 - radius * radius / dc2))
-    is_sphere = (kind == LIGHT_AREA) & (g(lights.area_geom_kind) == AREA_GEOM_QUADRIC)
-    out = jnp.where(is_sphere, mc.uniform_cone_pdf(cos_max), out)
+    # Area sphere: cone pdf (skipped when the scene has no quadrics — the
+    # gather would index an empty table).
+    if scene.quadrics.count > 0:
+        qid = jnp.clip(g(lights.area_first), 0, scene.quadrics.count - 1)
+        center = scene.quadrics.o2w[:, :3, 3][qid]
+        radius = scene.quadrics.params[qid][..., 0]
+        dc2 = jnp.maximum(vm.length_sq(center - p), 1e-12)
+        cos_max = jnp.sqrt(jnp.maximum(1e-12, 1.0 - radius * radius / dc2))
+        is_sphere = (kind == LIGHT_AREA) & \
+            (g(lights.area_geom_kind) == AREA_GEOM_QUADRIC)
+        out = jnp.where(is_sphere, mc.uniform_cone_pdf(cos_max), out)
     return out
 
 

@@ -108,7 +108,7 @@ def render_loss_fn(scene: SceneData, opts: R.RenderOptions, px, py, s_idx,
     o, d, mint, maxt, _ = cam_mod.generate_rays(
         scene.camera, cs["image_x"], cs["image_y"], cs["lens_u"],
         cs["lens_v"], cs["time"], opts.xres, opts.yres)
-    L, _ = R._li_dispatch(scene, opts, o, d, mint, maxt, px, py, s_idx)
+    L = R._li_dispatch(scene, opts, o, d, mint, maxt, px, py, s_idx)[0]
     tgt = target[py, px]
     diff = L - tgt
     return jnp.mean(jnp.sum(diff * diff, axis=-1))

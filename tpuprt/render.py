@@ -70,16 +70,16 @@ def render_chunk(scene: SceneData, opts: RenderOptions, film: film_mod.Film,
     o, d, mint, maxt, time = cam_mod.generate_rays(
         scene.camera, cs["image_x"], cs["image_y"], cs["lens_u"],
         cs["lens_v"], cs["time"], opts.xres, opts.yres)
-    L, alpha = _li_dispatch(scene, opts, o, d, mint, maxt, px, py, s_idx)
+    L, alpha, t_first = _li_dispatch(scene, opts, o, d, mint, maxt, px, py,
+                                     s_idx)
     # Scene::Li composition (core/scene.cpp:120-126): L = T*Lo + Lv with T
     # the camera-segment transmittance to the first hit and Lv the volume
-    # integrator's in-scatter/emission along that segment.
+    # integrator's in-scatter/emission along that segment. The integrator
+    # already found the first hit; reuse its t rather than re-intersecting.
     if scene.volumes is not None and scene.volumes.count > 0:
-        from .accel import intersect as isect
         from .core import rng as rng_mod
         from .integrators import volume as vol_integ
-        t_hit, _, hit = isect.intersect_ids(scene, o, d, mint, maxt)
-        seg_end = jnp.where(hit, t_hit, maxt)
+        seg_end = t_first
         ph = rng_mod.hash_u32(px, py, opts.seed, 0xF0)
         u = rng_mod.uniform(ph, s_idx, 0x7A)
         T = vol_integ.transmittance(scene, o, d, mint, seg_end, u)

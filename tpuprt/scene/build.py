@@ -458,7 +458,8 @@ class SceneBuilder:
             kind=jnp.asarray([m[0] for m in mats], jnp.int32),
             tex=jnp.asarray([m[1] for m in mats], jnp.int32),
             bump=jnp.asarray([m[2] for m in mats], jnp.int32),
-            count=nm, **build_templates(mats))
+            count=nm, has_bump=any(m[2] >= 0 for m in mats),
+            **build_templates(mats))
 
         # Texture graph.
         if self.tex_nodes:

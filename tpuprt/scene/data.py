@@ -126,6 +126,9 @@ class MaterialTable:
     # materials — BSDF kernels skip absent formulas.
     lobe_kinds: Tuple = static(default=())
     dist_kinds: Tuple = static(default=())
+    # True iff any material has a bump texture: gates the two extra texture
+    # graph evaluations bump mapping needs (core/material.cpp:29-71).
+    has_bump: bool = static(default=False)
 
 
 # Texture graphs live in textures/graph.py (TexGraph): static node topology

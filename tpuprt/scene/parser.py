@@ -385,43 +385,47 @@ class PbrtParser:
     def _make_material(self, kind: str, params: ParamSet) -> int:
         b = self.builder
         rt = self._resolve_texture
+        # Every reference material accepts an optional float "bumpmap"
+        # displacement texture (materials/*.cpp, core/material.cpp:29-71).
+        bump = (self.named_textures[params.texture_name("bumpmap")]
+                if params.is_texture("bumpmap") else -1)
         if kind == "matte":
             return b.add_material("matte", [
                 rt(params, "Kd", (0.5,) * 3),
-                rt(params, "sigma", 0.0, True)])
+                rt(params, "sigma", 0.0, True)], bump=bump)
         if kind == "plastic":
             return b.add_material("plastic", [
                 rt(params, "Kd", (0.25,) * 3), rt(params, "Ks", (0.25,) * 3),
-                rt(params, "roughness", 0.1, True)])
+                rt(params, "roughness", 0.1, True)], bump=bump)
         if kind == "glass":
             return b.add_material("glass", [
                 rt(params, "Kr", (1.0,) * 3), rt(params, "Kt", (1.0,) * 3),
-                rt(params, "index", 1.5, True)])
+                rt(params, "index", 1.5, True)], bump=bump)
         if kind == "mirror":
-            return b.add_material("mirror", [rt(params, "Kr", (0.9,) * 3)])
+            return b.add_material("mirror", [rt(params, "Kr", (0.9,) * 3)], bump=bump)
         if kind == "shinymetal":
             return b.add_material("shinymetal", [
                 rt(params, "Ks", (1.0,) * 3), rt(params, "Kr", (1.0,) * 3),
-                rt(params, "roughness", 0.1, True)])
+                rt(params, "roughness", 0.1, True)], bump=bump)
         if kind == "substrate":
             return b.add_material("substrate", [
                 rt(params, "Kd", (0.5,) * 3), rt(params, "Ks", (0.5,) * 3),
                 rt(params, "uroughness", 0.1, True),
-                rt(params, "vroughness", 0.1, True)])
+                rt(params, "vroughness", 0.1, True)], bump=bump)
         if kind == "translucent":
             return b.add_material("translucent", [
                 rt(params, "Kd", (0.25,) * 3), rt(params, "Ks", (0.25,) * 3),
                 rt(params, "roughness", 0.1, True),
                 rt(params, "reflect", (0.5,) * 3),
-                rt(params, "transmit", (0.5,) * 3)])
+                rt(params, "transmit", (0.5,) * 3)], bump=bump)
         if kind == "uber":
             return b.add_material("uber", [
                 rt(params, "Kd", (0.25,) * 3), rt(params, "Ks", (0.25,) * 3),
                 rt(params, "Kr", (0.0,) * 3),
                 rt(params, "roughness", 0.1, True),
-                rt(params, "opacity", (1.0,) * 3)])
+                rt(params, "opacity", (1.0,) * 3)], bump=bump)
         if kind in MATERIAL_KINDS:  # measured materials
-            return b.add_material(kind, [])
+            return b.add_material(kind, [], bump=bump)
         # Unknown material: plastic is the reference's fallback behavior
         # (dynload failure -> error; we warn + matte).
         return b.matte()
