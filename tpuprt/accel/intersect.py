@@ -121,6 +121,66 @@ def hit_geometry(scene: SceneData, prim_id, o, d, t):
     return dg
 
 
+def compute_differentials(dg, rx_o, rx_d, ry_o, ry_d, active):
+    """DifferentialGeometry::ComputeDifferentials
+    (/root/reference/core/shape.cpp:52-106): intersect the +x/+y auxiliary
+    camera rays with the tangent plane at the hit, then solve the 2x2
+    plane-projection system for (dudx, dvdx) / (dudy, dvdy). Adds the
+    dpdx/dpdy/dudx/dvdx/dudy/dvdy keys to dg (zeros on inactive lanes).
+    Branchless: the projection axes are selected per lane by gather."""
+    from ..core import vecmath as vm
+    nn, p, dpdu, dpdv = dg["nn"], dg["p"], dg["dpdu"], dg["dpdv"]
+    dplane = -vm.dot(nn, p)
+
+    def aux(o_a, d_a):
+        denom = vm.dot(nn, d_a)
+        ok = jnp.abs(denom) > 1e-12
+        tx = -(vm.dot(nn, o_a) + dplane) / jnp.where(ok, denom, 1.0)
+        return o_a + tx[..., None] * d_a, ok
+
+    px, okx = aux(rx_o, rx_d)
+    py, oky = aux(ry_o, ry_d)
+    live = active & okx & oky
+    dpdx = jnp.where(live[..., None], px - p, 0.0)
+    dpdy = jnp.where(live[..., None], py - p, 0.0)
+
+    # Projection plane: drop the dominant normal axis (shape.cpp:69-78).
+    an = jnp.abs(nn)
+    dom = jnp.argmax(an, axis=-1)
+    ax0 = jnp.where(dom == 0, 1, 0)
+    ax1 = jnp.where(dom == 2, 1, 2)
+
+    def comp(v, ax):
+        return jnp.take_along_axis(v, ax[..., None], -1)[..., 0]
+
+    a00 = comp(dpdu, ax0)
+    a01 = comp(dpdv, ax0)
+    a10 = comp(dpdu, ax1)
+    a11 = comp(dpdv, ax1)
+    det = a00 * a11 - a01 * a10
+    solvable = jnp.abs(det) >= 1e-5          # SolveLinearSystem2x2 guard
+    inv_det = 1.0 / jnp.where(solvable, det, 1.0)
+
+    def solve(b, fallback):
+        b0 = comp(b, ax0)
+        b1 = comp(b, ax1)
+        du = jnp.where(solvable, (a11 * b0 - a01 * b1) * inv_det, fallback[0])
+        dv = jnp.where(solvable, (a00 * b1 - a10 * b0) * inv_det, fallback[1])
+        return du, dv
+
+    dudx, dvdx = solve(dpdx, (1.0, 0.0))
+    dudy, dvdy = solve(dpdy, (0.0, 1.0))
+    out = dict(dg)
+    out["dpdx"] = dpdx
+    out["dpdy"] = dpdy
+    z = jnp.zeros_like(dudx)
+    out["dudx"] = jnp.where(live, dudx, z)
+    out["dvdx"] = jnp.where(live, dvdx, z)
+    out["dudy"] = jnp.where(live, dudy, z)
+    out["dvdy"] = jnp.where(live, dvdy, z)
+    return out
+
+
 def hit_geometry_light(scene: SceneData, prim_id, o, d, t):
     """Cheap hit record for light-identification rays: p, nn (geometric,
     flip applied), area_light, material. Skips u/v, tangents and all

@@ -27,7 +27,7 @@ _EPS = vm.RAY_EPSILON
 
 def li(scene: SceneData, o, d, mint, maxt, cfg: smp.SamplerConfig,
        px, py, s_idx, max_depth: int = 5, seed: int = 0,
-       strategy: str = "all"):
+       strategy: str = "all", rx=None, ry=None):
     n_rays = o.shape[0]
     ph = rng.hash_u32(px, py, seed, 0xD112)
     has_inf = bool(scene.lights.infinite_meta)
@@ -52,6 +52,9 @@ def li(scene: SceneData, o, d, mint, maxt, cfg: smp.SamplerConfig,
         alpha = jnp.where(first & hit, 1.0, alpha)
 
         dg = isect.hit_geometry(scene, pid, ro, rd, t)
+        if rx is not None:
+            dg = isect.compute_differentials(dg, rx[0], rx[1], ry[0], ry[1],
+                                             first & alive)
         Le = lt.area_emission(scene, dg["area_light"], dg["nn"], -rd)
         L = L + jnp.where(alive[..., None], throughput * Le, 0.0)
 

@@ -31,7 +31,7 @@ _EPS = vm.RAY_EPSILON
 
 def li(scene: SceneData, o, d, mint, maxt, cfg: smp.SamplerConfig,
        px, py, s_idx, max_depth: int = 5, seed: int = 0, rr_start: int = 3,
-       collect_stats: bool = False):
+       collect_stats: bool = False, rx=None, ry=None):
     """Returns (L f32[N,3], alpha f32[N]) — plus a stats dict (ray counters,
     the reborn stats registry of core/util.cpp:186-285) when collect_stats.
     """
@@ -75,6 +75,11 @@ def li(scene: SceneData, o, d, mint, maxt, cfg: smp.SamplerConfig,
         alpha = jnp.where(first & hit, 1.0, alpha)
 
         dg = isect.hit_geometry(scene, pid, ro, rd, t)
+        # First-hit ray differentials (core/scene.cpp:45-53 aux rays +
+        # core/shape.cpp:52-106) for texture filtering.
+        if rx is not None:
+            dg = isect.compute_differentials(dg, rx[0], rx[1], ry[0], ry[1],
+                                             first & alive)
 
         # Emitted term (area lights) on first/post-specular (path.cpp:91-92).
         if has_lights:

@@ -26,7 +26,11 @@ _EPS = vm.RAY_EPSILON
 
 
 def li(scene: SceneData, o, d, mint, maxt, cfg: smp.SamplerConfig,
-       px, py, s_idx, max_depth: int = 5, seed: int = 0):
+       px, py, s_idx, max_depth: int = 5, seed: int = 0,
+       rx=None, ry=None):
+    """rx/ry: optional (origin, direction) auxiliary camera rays offset by
+    +1 pixel in x/y (core/scene.cpp:45-53) enabling texture filtering via
+    ray differentials at the first hit."""
     n_rays = o.shape[0]
     ph = rng.hash_u32(px, py, seed, 0x817)
     has_inf = bool(scene.lights.infinite_meta)
@@ -50,6 +54,9 @@ def li(scene: SceneData, o, d, mint, maxt, cfg: smp.SamplerConfig,
         alpha = jnp.where(first & hit, 1.0, alpha)
 
         dg = isect.hit_geometry(scene, pid, ro, rd, t)
+        if rx is not None:
+            dg = isect.compute_differentials(dg, rx[0], rx[1], ry[0], ry[1],
+                                             first & alive)
         # Area-light emission at the hit (whitted.cpp:69).
         Le = lt.area_emission(scene, dg["area_light"], dg["nn"], -rd)
         L = L + jnp.where(alive[..., None], throughput * Le, 0.0)

@@ -45,18 +45,18 @@ class RenderOptions(NamedTuple):
 
 
 def _li_dispatch(scene, opts: RenderOptions, o, d, mint, maxt,
-                 px, py, s_idx):
+                 px, py, s_idx, rx=None, ry=None):
     if opts.integrator == "whitted":
         return _whitted.li(scene, o, d, mint, maxt, opts.sampler, px, py,
-                           s_idx, opts.max_depth, opts.seed)
+                           s_idx, opts.max_depth, opts.seed, rx=rx, ry=ry)
     if opts.integrator == "path":
         return _path.li(scene, o, d, mint, maxt, opts.sampler, px, py,
-                        s_idx, opts.max_depth, opts.seed)
+                        s_idx, opts.max_depth, opts.seed, rx=rx, ry=ry)
     if opts.integrator == "directlighting":
         from .integrators import directlighting
         return directlighting.li(scene, o, d, mint, maxt, opts.sampler,
                                  px, py, s_idx, opts.max_depth, opts.seed,
-                                 opts.direct_strategy)
+                                 opts.direct_strategy, rx=rx, ry=ry)
     if opts.integrator == "debug":
         from .integrators import debug
         return debug.li(scene, o, d, mint, maxt, opts.debug_channels)
@@ -70,8 +70,16 @@ def render_chunk(scene: SceneData, opts: RenderOptions, film: film_mod.Film,
     o, d, mint, maxt, time = cam_mod.generate_rays(
         scene.camera, cs["image_x"], cs["image_y"], cs["lens_u"],
         cs["lens_v"], cs["time"], opts.xres, opts.yres)
+    # Auxiliary +1-pixel rays for ray differentials (core/scene.cpp:45-53);
+    # same lens/time samples, shifted raster position.
+    o_rx, d_rx, *_ = cam_mod.generate_rays(
+        scene.camera, cs["image_x"] + 1.0, cs["image_y"], cs["lens_u"],
+        cs["lens_v"], cs["time"], opts.xres, opts.yres)
+    o_ry, d_ry, *_ = cam_mod.generate_rays(
+        scene.camera, cs["image_x"], cs["image_y"] + 1.0, cs["lens_u"],
+        cs["lens_v"], cs["time"], opts.xres, opts.yres)
     L, alpha, t_first = _li_dispatch(scene, opts, o, d, mint, maxt, px, py,
-                                     s_idx)
+                                     s_idx, rx=(o_rx, d_rx), ry=(o_ry, d_ry))
     # Scene::Li composition (core/scene.cpp:120-126): L = T*Lo + Lv with T
     # the camera-segment transmittance to the first hit and Lv the volume
     # integrator's in-scatter/emission along that segment. The integrator

@@ -273,14 +273,14 @@ def mipmap_lookup_tri(levels, s, t, width, wrap=0):
     level_f = nlev - 1 + jnp.log2(jnp.maximum(width, 1e-8))
     level_f = jnp.clip(level_f, 0.0, nlev - 1)
     l0 = jnp.floor(level_f).astype(jnp.int32)
-    dl = (level_f - l0)[..., None]
+    dl = level_f - l0
     out = jnp.zeros(s.shape + (3,), jnp.float32)
     for li in range(nlev):
         w0 = jnp.where(l0 == li, 1.0 - dl, 0.0) + \
              jnp.where(l0 + 1 == li, dl, 0.0) + \
              jnp.where((li == nlev - 1) & (l0 == nlev - 1), dl, 0.0)
         tap = _bilinear(levels[li], s, t, wrap)
-        out = out + w0 * tap
+        out = out + w0[..., None] * tap
     return out
 
 
