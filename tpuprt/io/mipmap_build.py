@@ -56,8 +56,11 @@ def build_pyramid(rgb: np.ndarray) -> Tuple[np.ndarray, ...]:
         img = _resample_axis(img, ph, 0)
     levels = [img]
     while img.shape[0] > 1 or img.shape[1] > 1:
-        nh = max(1, img.shape[0] // 2)
-        nw = max(1, img.shape[1] // 2)
-        img = img[: nh * 2, : nw * 2].reshape(nh, 2, nw, 2, -1).mean((1, 3))
+        # Rectangular pyramids: an axis already at 1 stops reducing
+        # (mipmap.h nLevels = 1 + log2(max(w,h))).
+        fh = 2 if img.shape[0] > 1 else 1
+        fw = 2 if img.shape[1] > 1 else 1
+        nh, nw = img.shape[0] // fh, img.shape[1] // fw
+        img = img[: nh * fh, : nw * fw].reshape(nh, fh, nw, fw, -1).mean((1, 3))
         levels.append(img.astype(np.float32))
     return tuple(levels)

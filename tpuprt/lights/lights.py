@@ -275,6 +275,17 @@ def sample(scene: SceneData, light_id, p, n, u1, u2, u3):
         wi_inf = x[..., None] * v1 + y[..., None] * v2 + z[..., None] * nf
         pdf_inf = jnp.abs(z) * mc.INV_TWOPI
         Li_inf = env_radiance(scene, light_id, wi_inf)
+        # infinitesample override: map-importance sampling
+        # (lights/infinitesample.cpp:152-178) for lights with tables.
+        for (lid, img, imp) in lights.infinite_meta:
+            if imp < 0:
+                continue
+            wi_is, pdf_is, Li_is = _sample_env_importance(
+                scene, lid, scene.env_importance[imp], img, u1, u2)
+            sel = light_id == lid
+            wi_inf = jnp.where(sel[..., None], wi_is, wi_inf)
+            pdf_inf = jnp.where(sel, pdf_is, pdf_inf)
+            Li_inf = jnp.where(sel[..., None], Li_is, Li_inf)
     else:
         wi_inf = zeros3
         Li_inf = zeros3
@@ -300,6 +311,72 @@ def sample(scene: SceneData, light_id, p, n, u1, u2, u3):
     return dict(Li=Li, wi=wi, pdf=pdf, delta=delta, vis_maxt=vis_maxt)
 
 
+def _cdf_offset(cdf_gather, n, u):
+    """Largest index i in [0, n] with cdf[i] <= u, via branchless binary
+    search (Distribution1D::Sample upper_bound,
+    lights/infinitesample.cpp:42-51). cdf_gather(idx[B]) -> cdf values."""
+    import math as _m
+    lo = jnp.zeros_like(u, jnp.int32)
+    hi = jnp.full_like(lo, n)
+    for _ in range(int(_m.ceil(_m.log2(n + 1))) + 1):
+        mid = (lo + hi + 1) // 2
+        go = u >= cdf_gather(mid)
+        lo = jnp.where(go, mid, lo)
+        hi = jnp.where(go, hi, mid - 1)
+    return jnp.clip(lo, 0, n - 1)
+
+
+def _sample_env_importance(scene: SceneData, lid: int, dist, img: int,
+                           u1, u2):
+    """InfiniteAreaLightIS::Sample_L(p, u1, u2)
+    (lights/infinitesample.cpp:152-178): sample the column marginal then the
+    per-column conditional, map (fu, fv) -> (phi, theta), pdf with the
+    sin(theta) Jacobian."""
+    nu, nv = dist.nu, dist.nv
+    o_u = _cdf_offset(lambda i: dist.cdf_u[i], nu, u1)
+    seg_u = dist.cdf_u[o_u + 1] - dist.cdf_u[o_u]
+    du = (u1 - dist.cdf_u[o_u]) / jnp.maximum(seg_u, 1e-20)
+    fu = o_u.astype(jnp.float32) + jnp.clip(du, 0.0, 1.0)
+    pdf_u = dist.func_u[o_u] / jnp.maximum(dist.int_u, 1e-20)
+
+    o_v = _cdf_offset(lambda i: dist.cdf_v[o_u, i], nv, u2)
+    c0 = dist.cdf_v[o_u, o_v]
+    seg_v = dist.cdf_v[o_u, o_v + 1] - c0
+    dv = (u2 - c0) / jnp.maximum(seg_v, 1e-20)
+    fv = o_v.astype(jnp.float32) + jnp.clip(dv, 0.0, 1.0)
+    pdf_v = dist.func_v[o_u, o_v] / jnp.maximum(dist.int_v[o_u], 1e-20)
+
+    theta = fv * (jnp.pi / nv)
+    phi = fu * (2.0 * jnp.pi / nu)
+    sin_t = jnp.sin(theta)
+    cos_t = jnp.cos(theta)
+    wl = jnp.stack([sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), cos_t], -1)
+    wi = tf.apply_vector(scene.lights.l2w[lid], wl)
+    ok = sin_t > 1e-7
+    pdf_val = jnp.where(ok, pdf_u * pdf_v /
+                        (2.0 * jnp.pi * jnp.pi * jnp.maximum(sin_t, 1e-7)),
+                        0.0)
+    base = scene.lights.spectrum[lid]
+    tex = mipmap_lookup_tri(scene.images[img].levels, fu / nu, fv / nv,
+                            jnp.zeros_like(fu), scene.images[img].wrap)
+    Li = jnp.where(ok[..., None], base * tex, 0.0)
+    return wi, pdf_val, Li
+
+
+def _pdf_env_importance(scene: SceneData, lid: int, dist, wi_world):
+    """InfiniteAreaLightIS::Pdf (lights/infinitesample.cpp:179-191)."""
+    nu, nv = dist.nu, dist.nv
+    wl = vm.normalize(tf.apply_vector(scene.lights.w2l[lid], wi_world))
+    theta = vm.spherical_theta(wl)
+    phi = vm.spherical_phi(wl)
+    u = jnp.clip((phi * (0.5 / jnp.pi) * nu).astype(jnp.int32), 0, nu - 1)
+    v = jnp.clip((theta * (1.0 / jnp.pi) * nv).astype(jnp.int32), 0, nv - 1)
+    sin_t = jnp.maximum(jnp.sin(theta), 1e-7)
+    return (dist.func_u[u] * dist.func_v[u, v]) / \
+        jnp.maximum(dist.int_u * dist.int_v[u], 1e-20) / \
+        (2.0 * jnp.pi * jnp.pi * sin_t)
+
+
 def pdf(scene: SceneData, light_id, p, n, wi):
     """light->Pdf(p, n, wi) for MIS BSDF-strategy weighting.
 
@@ -315,6 +392,14 @@ def pdf(scene: SceneData, light_id, p, n, wi):
     # Infinite.
     out = jnp.where(kind == LIGHT_INFINITE,
                     vm.absdot(n, wi) * mc.INV_TWOPI, out)
+    # infinitesample: map-importance pdf for lights with tables.
+    for (lid, _img, imp) in lights.infinite_meta:
+        if imp < 0:
+            continue
+        out = jnp.where(light_id == lid,
+                        _pdf_env_importance(scene, lid,
+                                            scene.env_importance[imp], wi),
+                        out)
     # Area sphere: cone pdf (skipped when the scene has no quadrics — the
     # gather would index an empty table).
     if scene.quadrics.count > 0:

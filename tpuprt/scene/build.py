@@ -58,6 +58,7 @@ class _Light:
     area_count: int = 1
     area_total: float = 0.0
     tri_areas: Optional[np.ndarray] = None
+    importance: bool = False   # infinitesample: map importance sampling
 
 
 class SceneBuilder:
@@ -273,10 +274,15 @@ class SceneBuilder:
                                   np.asarray(L, np.float32), params))
         return len(self.lights) - 1
 
-    def add_infinite_light(self, l2w, L=(1.0,) * 3, image=-1, nsamples=1):
+    def add_infinite_light(self, l2w, L=(1.0,) * 3, image=-1, nsamples=1,
+                           importance=False):
+        """importance=True selects the infinitesample behavior
+        (/root/reference/lights/infinitesample.cpp): luminance*sin(theta)
+        CDF tables are built over the map at scene build."""
         self.lights.append(_Light(D.LIGHT_INFINITE, np.asarray(l2w, np.float32),
                                   np.asarray(L, np.float32), image=image,
-                                  nsamples=nsamples))
+                                  nsamples=nsamples,
+                                  importance=importance and image >= 0))
         return len(self.lights) - 1
 
     def add_projection_light(self, l2w, intensity=(1.0,) * 3, fov=45.0,
@@ -492,9 +498,19 @@ class SceneBuilder:
                 max_cnt = max(max_cnt, li_.area_count)
             else:
                 cdf_flat.extend([0.0, 1.0])
-        infinite_meta = tuple(
-            (i, l.image, False) for i, l in enumerate(self.lights)
-            if l.kind == D.LIGHT_INFINITE)
+        # Importance tables (infinitesample): third meta element is the
+        # index into SceneData.env_importance, or -1 (cosine sampling).
+        env_dists: List[D.EnvDist] = []
+        inf_meta_rows = []
+        for i, l in enumerate(self.lights):
+            if l.kind != D.LIGHT_INFINITE:
+                continue
+            imp_idx = -1
+            if l.importance:
+                imp_idx = len(env_dists)
+                env_dists.append(_build_env_dist(self.images[l.image][0][0]))
+            inf_meta_rows.append((i, l.image, imp_idx))
+        infinite_meta = tuple(inf_meta_rows)
         dir_map_meta = tuple(
             (i, l.image) for i, l in enumerate(self.lights)
             if l.kind in (D.LIGHT_PROJECTION, D.LIGHT_GONIOMETRIC)
@@ -580,7 +596,7 @@ class SceneBuilder:
         scene = D.SceneData(
             quadrics=q, triangles=tri, materials=materials, textures=textures,
             images=images, lights=lt_tab, volumes=vols, camera=self.camera,
-            accel=None, env_importance=None,
+            accel=None, env_importance=tuple(env_dists),
             world_bound_lo=jnp.asarray(wlo), world_bound_hi=jnp.asarray(whi))
 
         # Accelerator: explicit request, or automatic for big scenes (the
@@ -603,3 +619,45 @@ class SceneBuilder:
                 from ..accel.grid_build import build_grid
                 scene = dataclasses.replace(scene, accel=build_grid(scene))
         return scene
+
+
+def _build_env_dist(finest: "np.ndarray") -> "D.EnvDist":
+    """Build the infinitesample importance tables from the finest mip level
+    (/root/reference/lights/infinitesample.cpp:102-133): per-column (u = phi
+    axis) conditional CDFs over rows (v = theta axis) of
+    luminance * sin(pi*(v+.5)/nv), plus the marginal over columns. CDFs use
+    the ComputeStep1dCDF convention (core/mc.cpp:31-53): steps of
+    func[i]/(n*funcInt); Sample pdf = func[offset]/funcInt."""
+    import jax.numpy as jnp_
+    img = np.asarray(finest, np.float32)
+    nv, nu = img.shape[0], img.shape[1]          # rows = t/theta, cols = s/phi
+    yw = np.asarray([0.212671, 0.715160, 0.072169], np.float32)
+    lum = img @ yw                               # [nv, nu]
+    # Separable [1/4, 1/2, 1/4] blur (wrapping): the radiance lookup at a
+    # sampled position bilinearly interpolates NEIGHBOR texels, so the
+    # importance function must cover them too or boundary texels of bright
+    # regions produce rare huge Li/pdf spikes. (The reference builds its
+    # table from filtered corner lookups for the same reason,
+    # infinitesample.cpp:107-113; this symmetric form covers both sides.)
+    for ax in (0, 1):
+        lum = 0.5 * lum + 0.25 * (np.roll(lum, 1, ax) + np.roll(lum, -1, ax))
+    sin_t = np.sin(np.pi * (np.arange(nv) + 0.5) / nv).astype(np.float32)
+    func_v = (lum * sin_t[:, None]).T.astype(np.float32)   # [nu, nv]
+    func_v = np.maximum(func_v, 1e-9)            # avoid zero-integral columns
+
+    def step_cdf(f):
+        # f: [..., n] -> (cdf [..., n+1] normalized, funcInt [...])
+        n = f.shape[-1]
+        cdf = np.concatenate([np.zeros(f.shape[:-1] + (1,), np.float32),
+                              np.cumsum(f / n, axis=-1)], -1)
+        func_int = cdf[..., -1].copy()
+        cdf /= np.maximum(func_int[..., None], 1e-20)
+        return cdf.astype(np.float32), func_int.astype(np.float32)
+
+    cdf_v, int_v = step_cdf(func_v)
+    func_u = int_v.copy()                        # marginal = column integrals
+    cdf_u, int_u = step_cdf(func_u)
+    return D.EnvDist(func_u=jnp_.asarray(func_u), cdf_u=jnp_.asarray(cdf_u),
+                     int_u=jnp_.asarray(int_u), func_v=jnp_.asarray(func_v),
+                     cdf_v=jnp_.asarray(cdf_v), int_v=jnp_.asarray(int_v),
+                     nu=int(nu), nv=int(nv))

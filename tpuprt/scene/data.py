@@ -187,6 +187,24 @@ class LightTable:
 
 
 @pytree_dataclass
+class EnvDist:
+    """Importance tables for one infinitesample env light
+    (/root/reference/lights/infinitesample.cpp:32-138): a marginal CDF over
+    image columns (u = phi axis) and per-column conditional CDFs over rows
+    (v = theta axis), built from luminance * sin(theta). CDFs are the
+    reference's ComputeStep1dCDF form: cdf[i+1]-cdf[i] = func[i]/(n*funcInt),
+    sample pdf = func[offset]/funcInt."""
+    func_u: jnp.ndarray   # f32[nu]
+    cdf_u: jnp.ndarray    # f32[nu+1]
+    int_u: jnp.ndarray    # f32[] funcInt of the marginal
+    func_v: jnp.ndarray   # f32[nu, nv]
+    cdf_v: jnp.ndarray    # f32[nu, nv+1]
+    int_v: jnp.ndarray    # f32[nu]
+    nu: int = static(default=1)
+    nv: int = static(default=1)
+
+
+@pytree_dataclass
 class VolumeTable:
     """Volume regions (/root/reference/volumes/*.cpp). kinds:
     0 homogeneous, 1 exponential, 2 grid. Bounds in world space via w2v box

@@ -577,7 +577,8 @@ class PbrtParser:
             fname = params.find_one("mapname", "")
             img = self._load_image(fname) if fname else -1
             b.add_infinite_light(l2w, L, img,
-                                 params.find_one("nsamples", 1))
+                                 params.find_one("nsamples", 1),
+                                 importance=(kind == "infinitesample"))
         elif kind == "projection":
             fname = params.find_one("mapname", "")
             img = self._load_image(fname) if fname else -1
