@@ -1,0 +1,127 @@
+"""Grid-hash photon storage + fixed-radius density-estimation lookup.
+
+TPU-native replacement for the pointer-chasing generic KdTree the reference
+uses for photon maps (/root/reference/core/kdtree.h:48-171 +
+integrators/photonmap.cpp:433-483). Photons are bucketed by hashed grid
+cell (cell size = lookup radius) and sorted by bucket, so a lookup scans
+the 27 neighbor cells with bounded, maskable loops — no recursion, no
+stacks, fully vectorized over the query wavefront.
+
+Divergence from the reference (documented): the reference keeps the
+nLookup-NEAREST photons with a shrinking max-heap radius; we use
+FIXED-RADIUS density estimation (all photons within maxDist, capped per
+bucket) — the classic alternative estimator, consistent as photon count
+grows, and vastly better suited to a vector machine than per-lane heaps.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core.pytree import pytree_dataclass, static
+
+_HX, _HY, _HZ = 73856093, 19349663, 83492791
+
+
+@pytree_dataclass
+class PhotonGrid:
+    """One photon map. Photon arrays are sorted by hash bucket."""
+    p: jnp.ndarray        # f32[N,3] position
+    wi: jnp.ndarray       # f32[N,3] arrival direction (toward the light)
+    alpha: jnp.ndarray    # f32[N,3] power carried
+    start: jnp.ndarray    # i32[M+1] bucket start offsets into the arrays
+    n_paths: jnp.ndarray  # f32[] paths shot to fill this map (normalizer)
+    radius: float = static(default=0.1)
+    n_buckets: int = static(default=1)      # M (power of two)
+    bucket_cap: int = static(default=8)     # static per-bucket scan bound
+    count: int = static(default=0)
+
+
+def _cell_hash(ix, iy, iz, m):
+    h = (ix * _HX) ^ (iy * _HY) ^ (iz * _HZ)
+    return h & (m - 1)
+
+
+def build_photon_grid(p: np.ndarray, wi: np.ndarray, alpha: np.ndarray,
+                      radius: float, n_paths: float,
+                      max_bucket_cap: int = 64) -> PhotonGrid:
+    """Host-side build: hash to buckets, sort, record starts."""
+    n = p.shape[0]
+    if n == 0:
+        return PhotonGrid(p=jnp.zeros((1, 3)), wi=jnp.zeros((1, 3)),
+                          alpha=jnp.zeros((1, 3)),
+                          start=jnp.zeros((2,), jnp.int32),
+                          n_paths=jnp.asarray(max(n_paths, 1.0), jnp.float32),
+                          radius=float(radius), n_buckets=1, bucket_cap=0,
+                          count=0)
+    m = 1
+    while m < 2 * n:
+        m *= 2
+    cells = np.floor(p / radius).astype(np.int64)
+    h = _cell_hash(cells[:, 0], cells[:, 1], cells[:, 2], m).astype(np.int64)
+    order = np.argsort(h, kind="stable")
+    p, wi, alpha, hs = p[order], wi[order], alpha[order], h[order]
+
+    # Unbiased sparsification: buckets over the cap keep a random subset
+    # with alpha scaled by count/cap (Russian-roulette style; expectation
+    # of the density estimate is unchanged, unlike silent truncation).
+    start = np.searchsorted(hs, np.arange(m + 1))
+    counts = np.diff(start)
+    over = np.nonzero(counts > max_bucket_cap)[0]
+    if len(over):
+        rng_ = np.random.default_rng(0x9e3779b9)
+        alpha = alpha.copy()
+        keep = np.ones(len(p), bool)
+        for b in over:
+            s, c = start[b], counts[b]
+            sel = rng_.permutation(c)[:max_bucket_cap] + s
+            keep[s:s + c] = False
+            keep[sel] = True
+            alpha[sel] *= c / max_bucket_cap
+        p, wi, alpha, hs = p[keep], wi[keep], alpha[keep], hs[keep]
+        start = np.searchsorted(hs, np.arange(m + 1))
+        counts = np.diff(start)
+        n = len(p)
+    cap = int(min(max(counts.max(), 1), max_bucket_cap))
+    return PhotonGrid(
+        p=jnp.asarray(p, jnp.float32),
+        wi=jnp.asarray(wi, jnp.float32),
+        alpha=jnp.asarray(alpha, jnp.float32),
+        start=jnp.asarray(start, jnp.int32),
+        n_paths=jnp.asarray(max(n_paths, 1.0), jnp.float32),
+        radius=float(radius), n_buckets=m, bucket_cap=cap, count=n)
+
+
+_NBR = np.stack(np.meshgrid([-1, 0, 1], [-1, 0, 1], [-1, 0, 1],
+                            indexing="ij"), -1).reshape(27, 3)
+
+
+def gather_photons(grid: PhotonGrid, q, accum, init):
+    """Scan photons within `radius` of each query point q f32[B,3].
+
+    Vectorized over the 27 neighbor cells: accum(carry, wi, alpha, w) is
+    called bucket_cap times inside a fori_loop with [B,27]-shaped photon
+    batches (wi/alpha are [B,27,3]); w is True only for in-range photons.
+    Returns the final carry (a pytree of arrays).
+    """
+    if grid.count == 0 or grid.bucket_cap == 0:
+        return init
+    import jax
+    r2 = jnp.float32(grid.radius * grid.radius)
+    base = jnp.floor(q / grid.radius).astype(jnp.int32)
+    cells = base[..., None, :] + jnp.asarray(_NBR, jnp.int32)   # [B,27,3]
+    b = _cell_hash(cells[..., 0], cells[..., 1], cells[..., 2],
+                   grid.n_buckets)                               # [B,27]
+    s = grid.start[b]
+    cnt = grid.start[b + 1] - s
+
+    def body(j, carry):
+        idx = jnp.minimum(s + j, grid.count - 1)                 # [B,27]
+        pp = grid.p[idx]                                         # [B,27,3]
+        d2 = jnp.sum((pp - q[..., None, :]) ** 2, -1)
+        w = (j < cnt) & (d2 < r2)
+        return accum(carry, grid.wi[idx], grid.alpha[idx], w)
+
+    return jax.lax.fori_loop(0, grid.bucket_cap, body, init)

@@ -42,10 +42,17 @@ class RenderOptions(NamedTuple):
     chunk_size: int = 1 << 16          # wavefront size
     direct_strategy: str = "all"       # directlighting: all|one|weighted
     debug_channels: tuple = ("u", "v", "hit")
+    photon: tuple = ()                 # PhotonParams when integrator=photonmap
 
 
 def _li_dispatch(scene, opts: RenderOptions, o, d, mint, maxt,
-                 px, py, s_idx, rx=None, ry=None):
+                 px, py, s_idx, rx=None, ry=None, aux=None):
+    if opts.integrator == "photonmap":
+        from .integrators import photonmap
+        prm = opts.photon if opts.photon else photonmap.PhotonParams()
+        return photonmap.li(scene, aux, o, d, mint, maxt, opts.sampler,
+                            px, py, s_idx, opts.max_depth, opts.seed,
+                            prm, rx=rx, ry=ry)
     if opts.integrator == "whitted":
         return _whitted.li(scene, o, d, mint, maxt, opts.sampler, px, py,
                            s_idx, opts.max_depth, opts.seed, rx=rx, ry=ry)
@@ -64,7 +71,7 @@ def _li_dispatch(scene, opts: RenderOptions, o, d, mint, maxt,
 
 
 def render_chunk(scene: SceneData, opts: RenderOptions, film: film_mod.Film,
-                 px, py, s_idx, valid):
+                 px, py, s_idx, valid, aux=None):
     """One jit-able wavefront step: raygen -> Li -> guards -> splat."""
     cs = smp.camera_samples(opts.sampler, px, py, s_idx, opts.seed)
     o, d, mint, maxt, time = cam_mod.generate_rays(
@@ -79,7 +86,8 @@ def render_chunk(scene: SceneData, opts: RenderOptions, film: film_mod.Film,
         scene.camera, cs["image_x"], cs["image_y"] + 1.0, cs["lens_u"],
         cs["lens_v"], cs["time"], opts.xres, opts.yres)
     L, alpha, t_first = _li_dispatch(scene, opts, o, d, mint, maxt, px, py,
-                                     s_idx, rx=(o_rx, d_rx), ry=(o_ry, d_ry))
+                                     s_idx, rx=(o_rx, d_rx), ry=(o_ry, d_ry),
+                                     aux=aux)
     # Scene::Li composition (core/scene.cpp:120-126): L = T*Lo + Lv with T
     # the camera-segment transmittance to the first hit and Lv the volume
     # integrator's in-scatter/emission along that segment. The integrator
@@ -118,8 +126,17 @@ def render(scene: SceneData, opts: RenderOptions):
     total = xcount * ycount * spp
     chunk = min(opts.chunk_size, total)
 
+    # Integrator preprocess (Scene::Render -> Preprocess, core/scene.cpp:38):
+    # photon shooting happens here, before the camera-sample loop.
+    aux = None
+    if opts.integrator == "photonmap":
+        from .integrators import photonmap
+        prm = opts.photon if opts.photon else photonmap.PhotonParams()
+        aux = photonmap.build_maps(scene, prm, opts.seed)
+
     step = jax.jit(
-        lambda sc, f, px, py, si, v: render_chunk(sc, opts, f, px, py, si, v))
+        lambda sc, f, px, py, si, v, a: render_chunk(sc, opts, f, px, py,
+                                                     si, v, aux=a))
 
     n_chunks = math.ceil(total / chunk)
     for c in range(n_chunks):
@@ -133,6 +150,6 @@ def render(scene: SceneData, opts: RenderOptions):
         py = ystart + (pix // xcount)
         film = step(scene, film,
                     jnp.asarray(px, jnp.int32), jnp.asarray(py, jnp.int32),
-                    jnp.asarray(s_idx, jnp.int32), jnp.asarray(valid))
+                    jnp.asarray(s_idx, jnp.int32), jnp.asarray(valid), aux)
     rgb, alpha = film_mod.develop(film)
     return np.asarray(rgb), np.asarray(alpha)

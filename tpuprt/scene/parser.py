@@ -757,7 +757,22 @@ class PbrtParser:
         fw = DEFAULT_WIDTHS.get(self.filter_name, (2.0, 2.0))
         integ = self.integrator_name
         integ_map = {"whitted": "whitted", "path": "path",
-                     "directlighting": "directlighting", "debug": "debug"}
+                     "directlighting": "directlighting", "debug": "debug",
+                     "photonmap": "photonmap", "exphotonmap": "photonmap"}
+        photon = ()
+        if integ in ("photonmap", "exphotonmap"):
+            # CreateSurfaceIntegrator params (photonmap.cpp:511-524).
+            from ..integrators.photonmap import PhotonParams
+            ip = self.integrator_params
+            photon = PhotonParams(
+                caustic=ip.find_one("causticphotons", 20000),
+                direct=ip.find_one("directphotons", 100000),
+                indirect=ip.find_one("indirectphotons", 100000),
+                max_dist=ip.find_one("maxdist", 0.1),
+                final_gather=bool(ip.find_one("finalgather", True)),
+                gather_samples=ip.find_one("finalgathersamples", 32),
+                direct_with_photons=bool(ip.find_one("directwithphotons",
+                                                     False)))
         opts = R.RenderOptions(
             xres=xres, yres=yres, sampler=scfg,
             filter_kind=self.filter_name,
@@ -767,7 +782,7 @@ class PbrtParser:
             volume_integrator=("single" if self.volume_integrator_name ==
                                "single" else "emission"),
             max_depth=self.integrator_params.find_one("maxdepth", 5),
-            crop=crop)
+            crop=crop, photon=photon)
         scene = self.builder.build()
         return scene, opts
 
