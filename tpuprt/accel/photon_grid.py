@@ -125,3 +125,66 @@ def gather_photons(grid: PhotonGrid, q, accum, init):
         return accum(carry, grid.wi[idx], grid.alpha[idx], w)
 
     return jax.lax.fori_loop(0, grid.bucket_cap, body, init)
+
+
+@pytree_dataclass
+class PointGrid:
+    """Generic hashed point cache (the TPU replacement for the reference's
+    generic Octree, core/octree.h:42-147): points + arbitrary payload
+    columns, bucketed by cell of size `radius`, queried over 27 neighbor
+    cells. Used by the irradiance cache."""
+    p: jnp.ndarray                  # f32[N,3]
+    payload: Tuple[jnp.ndarray, ...]  # each f32[N,...]
+    start: jnp.ndarray              # i32[M+1]
+    radius: float = static(default=0.1)
+    n_buckets: int = static(default=1)
+    bucket_cap: int = static(default=8)
+    count: int = static(default=0)
+
+
+def build_point_grid(p: np.ndarray, payload, radius: float,
+                     max_bucket_cap: int = 64) -> PointGrid:
+    n = p.shape[0]
+    if n == 0:
+        return PointGrid(p=jnp.zeros((1, 3)),
+                         payload=tuple(jnp.asarray(x) for x in payload),
+                         start=jnp.zeros((2,), jnp.int32),
+                         radius=float(radius), n_buckets=1, bucket_cap=0,
+                         count=0)
+    m = 1
+    while m < 2 * n:
+        m *= 2
+    cells = np.floor(p / radius).astype(np.int64)
+    h = _cell_hash(cells[:, 0], cells[:, 1], cells[:, 2], m).astype(np.int64)
+    order = np.argsort(h, kind="stable")
+    hs = h[order]
+    start = np.searchsorted(hs, np.arange(m + 1))
+    cap = int(min(max(np.diff(start).max(), 1), max_bucket_cap))
+    return PointGrid(
+        p=jnp.asarray(p[order], jnp.float32),
+        payload=tuple(jnp.asarray(np.asarray(x)[order]) for x in payload),
+        start=jnp.asarray(start, jnp.int32),
+        radius=float(radius), n_buckets=m, bucket_cap=cap, count=n)
+
+
+def gather_points(grid: PointGrid, q, accum, init):
+    """Like gather_photons but payload-generic: accum(carry, pp, payload
+    tuple, in_bucket_mask) with [B,27,...]-shaped gathers per step. The
+    accum callback applies its own radius/validity tests."""
+    if grid.count == 0 or grid.bucket_cap == 0:
+        return init
+    import jax
+    base = jnp.floor(q / grid.radius).astype(jnp.int32)
+    cells = base[..., None, :] + jnp.asarray(_NBR, jnp.int32)
+    b = _cell_hash(cells[..., 0], cells[..., 1], cells[..., 2],
+                   grid.n_buckets)
+    s = grid.start[b]
+    cnt = grid.start[b + 1] - s
+
+    def body(j, carry):
+        idx = jnp.minimum(s + j, grid.count - 1)
+        pp = grid.p[idx]
+        pay = tuple(x[idx] for x in grid.payload)
+        return accum(carry, pp, pay, j < cnt)
+
+    return jax.lax.fori_loop(0, grid.bucket_cap, body, init)

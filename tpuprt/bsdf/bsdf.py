@@ -499,6 +499,17 @@ def num_components(b: BsdfBatch, mask):
     return jnp.sum(_matches(b.lobes.flags, mask).astype(jnp.int32), axis=-1)
 
 
+def rho_approx(b: BsdfBatch, mask=ALL & ~SPECULAR):
+    """Approximate hemispherical reflectance: sum of lobe R over matching
+    non-specular components. Exact for Lambertian (reflection.cpp rho
+    closed form); an approximation of the reference's 16-sample MC estimate
+    (core/reflection.cpp:355-392) for glossy lobes — used by IGI VirtualLight
+    creation and photon-map diffuse shortcuts, where R is the intended
+    albedo scale of every lobe kind."""
+    match = _matches(b.lobes.flags, jnp.asarray(mask)[..., None])
+    return jnp.sum(jnp.where(match[..., None], b.lobes.R, 0.0), axis=-2)
+
+
 def f(b: BsdfBatch, wo_w, wi_w, mask=ALL):
     """BSDF::f with geometric-normal sidedness (reflection.cpp:480-494)."""
     wo = world_to_local(b, wo_w)[..., None, :]

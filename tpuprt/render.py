@@ -43,6 +43,8 @@ class RenderOptions(NamedTuple):
     direct_strategy: str = "all"       # directlighting: all|one|weighted
     debug_channels: tuple = ("u", "v", "hit")
     photon: tuple = ()                 # PhotonParams when integrator=photonmap
+    igi: tuple = ()                    # IgiParams when integrator=igi
+    irrad: tuple = ()                  # IrradParams, integrator=irradiancecache
 
 
 def _li_dispatch(scene, opts: RenderOptions, o, d, mint, maxt,
@@ -53,6 +55,24 @@ def _li_dispatch(scene, opts: RenderOptions, o, d, mint, maxt,
         return photonmap.li(scene, aux, o, d, mint, maxt, opts.sampler,
                             px, py, s_idx, opts.max_depth, opts.seed,
                             prm, rx=rx, ry=ry)
+    if opts.integrator == "igi":
+        from .integrators import igi
+        prm = opts.igi if opts.igi else igi.IgiParams()
+        return igi.li(scene, aux, o, d, mint, maxt, opts.sampler,
+                      px, py, s_idx, opts.max_depth, opts.seed, prm,
+                      rx=rx, ry=ry)
+    if opts.integrator == "irradiancecache":
+        from .integrators import irradiancecache
+        prm = opts.irrad if opts.irrad else irradiancecache.IrradParams()
+        return irradiancecache.li(scene, aux, o, d, mint, maxt,
+                                  opts.sampler, px, py, s_idx,
+                                  opts.max_depth, opts.seed, prm,
+                                  rx=rx, ry=ry)
+    if opts.integrator == "bidirectional":
+        from .integrators import bidirectional
+        return bidirectional.li(scene, o, d, mint, maxt, opts.sampler,
+                                px, py, s_idx, opts.max_depth, opts.seed,
+                                rx=rx, ry=ry)
     if opts.integrator == "whitted":
         return _whitted.li(scene, o, d, mint, maxt, opts.sampler, px, py,
                            s_idx, opts.max_depth, opts.seed, rx=rx, ry=ry)
@@ -133,6 +153,15 @@ def render(scene: SceneData, opts: RenderOptions):
         from .integrators import photonmap
         prm = opts.photon if opts.photon else photonmap.PhotonParams()
         aux = photonmap.build_maps(scene, prm, opts.seed)
+    elif opts.integrator == "igi":
+        from .integrators import igi as igi_mod
+        prm = opts.igi if opts.igi else igi_mod.IgiParams()
+        aux = igi_mod.build_virtual_lights(scene, prm, opts.seed)
+    elif opts.integrator == "irradiancecache":
+        from .integrators import irradiancecache as ic_mod
+        prm = opts.irrad if opts.irrad else ic_mod.IrradParams()
+        aux = ic_mod.build_cache(scene, prm, opts.xres, opts.yres,
+                                 opts.seed)
 
     step = jax.jit(
         lambda sc, f, px, py, si, v, a: render_chunk(sc, opts, f, px, py,

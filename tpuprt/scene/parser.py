@@ -758,8 +758,31 @@ class PbrtParser:
         integ = self.integrator_name
         integ_map = {"whitted": "whitted", "path": "path",
                      "directlighting": "directlighting", "debug": "debug",
-                     "photonmap": "photonmap", "exphotonmap": "photonmap"}
+                     "photonmap": "photonmap", "exphotonmap": "photonmap",
+                     "igi": "igi", "bidirectional": "bidirectional",
+                     "irradiancecache": "irradiancecache"}
+        irrad = ()
+        if integ == "irradiancecache":
+            # CreateSurfaceIntegrator params (irradiancecache.cpp:363-370).
+            from ..integrators.irradiancecache import IrradParams
+            ip = self.integrator_params
+            irrad = IrradParams(
+                maxerror=ip.find_one("maxerror", 0.2),
+                maxspeculardepth=ip.find_one("maxspeculardepth", 5),
+                maxindirectdepth=ip.find_one("maxindirectdepth", 3),
+                nsamples=ip.find_one("nsamples", 4096))
         photon = ()
+        igi_p = ()
+        if integ == "igi":
+            # CreateSurfaceIntegrator params (igi.cpp:288-295).
+            from ..integrators.igi import IgiParams
+            ip = self.integrator_params
+            igi_p = IgiParams(
+                nlights=ip.find_one("nlights", 64),
+                nsets=ip.find_one("nsets", 4),
+                mindist=ip.find_one("mindist", 0.1),
+                rrthreshold=ip.find_one("rrthreshold", 0.05),
+                indirectscale=ip.find_one("indirectscale", 1.0))
         if integ in ("photonmap", "exphotonmap"):
             # CreateSurfaceIntegrator params (photonmap.cpp:511-524).
             from ..integrators.photonmap import PhotonParams
@@ -782,7 +805,7 @@ class PbrtParser:
             volume_integrator=("single" if self.volume_integrator_name ==
                                "single" else "emission"),
             max_depth=self.integrator_params.find_one("maxdepth", 5),
-            crop=crop, photon=photon)
+            crop=crop, photon=photon, igi=igi_p, irrad=irrad)
         scene = self.builder.build()
         return scene, opts
 
