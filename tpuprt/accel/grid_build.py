@@ -11,7 +11,6 @@ for the device DDA traversal in accel/grid.py.
 from __future__ import annotations
 
 import numpy as np
-import jax.numpy as jnp
 
 from ..scene.data import GridAccel, SceneData
 
@@ -101,13 +100,17 @@ def build_grid(scene: SceneData) -> GridAccel:
     cell_start[1:] = np.cumsum(counts)
     prim_ids = np.concatenate([np.asarray(c, np.int32) for c in cells]) \
         if cell_start[-1] else np.zeros(1, np.int32)
+    # Tables go to the device here (device_put only, no XLA compile):
+    # eager consumers index them with traced lane values inside lax loops.
+    import jax
+    dp = lambda x, t=np.float32: jax.device_put(np.asarray(x, t))
     return GridAccel(
         nvoxels=(nx, ny, nz),
-        bounds_lo=jnp.asarray(wlo, jnp.float32),
-        bounds_hi=jnp.asarray(whi, jnp.float32),
-        width=jnp.asarray(width, jnp.float32),
-        inv_width=jnp.asarray(inv_width, jnp.float32),
-        cell_start=jnp.asarray(cell_start),
-        prim_ids=jnp.asarray(prim_ids),
+        bounds_lo=dp(wlo),
+        bounds_hi=dp(whi),
+        width=dp(width),
+        inv_width=dp(inv_width),
+        cell_start=dp(cell_start, np.int32),
+        prim_ids=dp(prim_ids, np.int32),
         max_per_voxel=int(counts.max()) if nvox else 0,
     )

@@ -14,7 +14,6 @@ import ctypes
 import math
 
 import numpy as np
-import jax.numpy as jnp
 
 from ..scene.data import KdTreeAccel, SceneData
 from .grid_build import _prim_bounds
@@ -196,14 +195,18 @@ def build_kdtree(scene: SceneData, isect_cost=80.0, trav_cost=1.0,
                            max_depth)
     flags, split, above, nprims, ids, max_leaf, depth_seen, blo, bhi = out
     pad = 1e-4 * np.maximum(np.abs(blo), np.abs(bhi)).max() + 1e-4
+    # device_put (no XLA compile): eager consumers index these with
+    # traced lane values inside lax loops, which numpy leaves reject.
+    import jax
+    dp = jax.device_put
     return KdTreeAccel(
-        bounds_lo=jnp.asarray(blo - pad, jnp.float32),
-        bounds_hi=jnp.asarray(bhi + pad, jnp.float32),
-        node_flags=jnp.asarray(flags),
-        node_split=jnp.asarray(split),
-        node_above=jnp.asarray(above),
-        node_nprims=jnp.asarray(nprims),
-        prim_ids=jnp.asarray(ids),
+        bounds_lo=dp(np.asarray(blo - pad, np.float32)),
+        bounds_hi=dp(np.asarray(bhi + pad, np.float32)),
+        node_flags=dp(np.asarray(flags)),
+        node_split=dp(np.asarray(split)),
+        node_above=dp(np.asarray(above)),
+        node_nprims=dp(np.asarray(nprims)),
+        prim_ids=dp(np.asarray(ids)),
         max_depth=max(int(depth_seen) + 1, 1),
         max_leaf_prims=max(int(max_leaf), 1),
     )

@@ -27,35 +27,39 @@ def inverse(m):
     return jnp.linalg.inv(m)
 
 
+# The factory functions below return host numpy arrays on purpose: they run
+# during scene construction (parser CTM stack), where a single tiny device
+# round-trip over a remote-TPU tunnel costs seconds. Device code receives
+# the finished matrices via SceneData jnp tables.
 def translate(delta):
     m = np.eye(4, dtype=np.float32)
     m[:3, 3] = np.asarray(delta, np.float32)
-    return jnp.asarray(m)
+    return m
 
 
 def scale(sx, sy, sz):
-    return jnp.asarray(np.diag(np.array([sx, sy, sz, 1.0], np.float32)))
+    return np.diag(np.array([sx, sy, sz, 1.0], np.float32))
 
 
 def rotate_x(deg):
     s, c = np.sin(np.radians(deg)), np.cos(np.radians(deg))
     m = np.eye(4, dtype=np.float32)
     m[1, 1], m[1, 2], m[2, 1], m[2, 2] = c, -s, s, c
-    return jnp.asarray(m)
+    return m
 
 
 def rotate_y(deg):
     s, c = np.sin(np.radians(deg)), np.cos(np.radians(deg))
     m = np.eye(4, dtype=np.float32)
     m[0, 0], m[0, 2], m[2, 0], m[2, 2] = c, s, -s, c
-    return jnp.asarray(m)
+    return m
 
 
 def rotate_z(deg):
     s, c = np.sin(np.radians(deg)), np.cos(np.radians(deg))
     m = np.eye(4, dtype=np.float32)
     m[0, 0], m[0, 1], m[1, 0], m[1, 1] = c, -s, s, c
-    return jnp.asarray(m)
+    return m
 
 
 def rotate(deg, axis):
@@ -73,7 +77,7 @@ def rotate(deg, axis):
     m[2, 0] = a[0] * a[2] * (1.0 - c) - a[1] * s
     m[2, 1] = a[1] * a[2] * (1.0 - c) + a[0] * s
     m[2, 2] = a[2] * a[2] + (1.0 - a[2] * a[2]) * c
-    return jnp.asarray(m.astype(np.float32))
+    return m.astype(np.float32)
 
 
 def look_at(pos, look, up):
@@ -96,7 +100,7 @@ def look_at(pos, look, up):
     m[:3, 1] = new_up
     m[:3, 2] = d
     m[:3, 3] = pos
-    return jnp.asarray(m.astype(np.float32))
+    return m.astype(np.float32)
 
 
 def orthographic(znear, zfar):
@@ -104,7 +108,7 @@ def orthographic(znear, zfar):
     m = np.eye(4, dtype=np.float32)
     m[2, 2] = 1.0 / (zfar - znear)
     m[2, 3] = -znear / (zfar - znear)
-    return jnp.asarray(m)
+    return m
 
 
 def perspective(fov_deg, n, f):
@@ -116,7 +120,7 @@ def perspective(fov_deg, n, f):
     m[2, 2] = f / (f - n)
     m[2, 3] = -f * n / (f - n)
     m[3, 2] = 1.0
-    return jnp.asarray(m)
+    return m
 
 
 # ---------------------------------------------------------------------------

@@ -55,6 +55,10 @@ def write_exr(path: str, rgb: np.ndarray, alpha: Optional[np.ndarray] = None,
               compression: int = _COMP_ZIPS, half: bool = True):
     """Write RGB(A) image. rgb: f32[h,w,3]; alpha optional f32[h,w]."""
     rgb = np.asarray(rgb, np.float32)
+    if half:
+        # Values beyond half range would overflow the cast to f16; clamp
+        # like Imath half's saturating conversion.
+        rgb = np.clip(rgb, -65504.0, 65504.0)
     h, w = rgb.shape[:2]
     x0, y0 = data_offset
     if display_window is None:

@@ -45,6 +45,10 @@ class RenderOptions(NamedTuple):
     photon: tuple = ()                 # PhotonParams when integrator=photonmap
     igi: tuple = ()                    # IgiParams when integrator=igi
     irrad: tuple = ()                  # IrradParams, integrator=irradiancecache
+    filename: str = "pbrt.exr"         # film/image.cpp:213-216
+    # Re-write the in-progress image every N samples (film/image.cpp:142-146,
+    # writefrequency param); <=0 disables. Rounded up to whole chunks.
+    writefrequency: int = -1
 
 
 def _li_dispatch(scene, opts: RenderOptions, o, d, mint, maxt,
@@ -138,8 +142,38 @@ def render_chunk(scene: SceneData, opts: RenderOptions, film: film_mod.Film,
                                 opts.filter_ywidth)
 
 
-def render(scene: SceneData, opts: RenderOptions):
-    """Full frame render. Returns (rgb f32[yres,xres,3], alpha)."""
+def save_checkpoint(path: str, film: film_mod.Film, next_chunk: int):
+    """Dump the film accumulator + wavefront cursor (the TPU analogue of
+    the reference's writefrequency partial image, film/image.cpp:142-146,
+    made resumable: deterministic counter-based sampling means re-running
+    from the saved chunk index reproduces the remaining work exactly)."""
+    np.savez(path, pixels=np.asarray(film.pixels),
+             alpha=np.asarray(film.alpha),
+             weight_sum=np.asarray(film.weight_sum),
+             next_chunk=np.int64(next_chunk))
+
+
+def load_checkpoint(path: str, opts: RenderOptions):
+    """Restore (film, next_chunk) written by save_checkpoint."""
+    z = np.load(path)
+    film = film_mod.Film(pixels=jnp.asarray(z["pixels"]),
+                         alpha=jnp.asarray(z["alpha"]),
+                         weight_sum=jnp.asarray(z["weight_sum"]),
+                         xres=opts.xres, yres=opts.yres, crop=opts.crop)
+    return film, int(z["next_chunk"])
+
+
+def render(scene: SceneData, opts: RenderOptions, progress: bool = False,
+           stats=None, checkpoint_path: str = None, resume: bool = False):
+    """Full frame render. Returns (rgb f32[yres,xres,3], alpha).
+
+    progress: print a ProgressReporter bar (core/util.cpp:396-448).
+    stats: a utils.stats.StatsRegistry to fill (core/util.cpp:186-285).
+    checkpoint_path/resume: film checkpoint + restart mid-render
+    (writefrequency analogue, film/image.cpp:142-146).
+    """
+    import time as _time
+    t0 = _time.time()
     film = film_mod.make_film(opts.xres, opts.yres, opts.crop)
     xstart, xcount, ystart, ycount = film_mod.pixel_extent(film)
     spp = smp.samples_per_pixel(opts.sampler)
@@ -168,7 +202,22 @@ def render(scene: SceneData, opts: RenderOptions):
                                                      si, v, aux=a))
 
     n_chunks = math.ceil(total / chunk)
-    for c in range(n_chunks):
+    start_chunk = 0
+    if resume and checkpoint_path is not None and \
+            __import__("os").path.exists(checkpoint_path):
+        film, start_chunk = load_checkpoint(checkpoint_path, opts)
+
+    write_every = 0
+    if opts.writefrequency and opts.writefrequency > 0:
+        write_every = max(1, math.ceil(opts.writefrequency / chunk))
+
+    rep = None
+    if progress:
+        from .utils.progress import ProgressReporter
+        rep = ProgressReporter(n_chunks - start_chunk, "Rendering")
+        rep.done_work = 0
+
+    for c in range(start_chunk, n_chunks):
         base = c * chunk
         lin = np.arange(base, base + chunk)
         valid = lin < total
@@ -180,5 +229,27 @@ def render(scene: SceneData, opts: RenderOptions):
         film = step(scene, film,
                     jnp.asarray(px, jnp.int32), jnp.asarray(py, jnp.int32),
                     jnp.asarray(s_idx, jnp.int32), jnp.asarray(valid), aux)
+        if rep is not None:
+            rep.update()
+        if write_every and (c + 1) % write_every == 0 and c + 1 < n_chunks:
+            from .io import exr
+            rgb_p, alpha_p = film_mod.develop(film)
+            exr.write_exr(opts.filename, np.asarray(rgb_p),
+                          np.asarray(alpha_p))
+            if checkpoint_path is not None:
+                save_checkpoint(checkpoint_path, film, c + 1)
+    if rep is not None:
+        rep.done()
     rgb, alpha = film_mod.develop(film)
+    rgb.block_until_ready()
+    if stats is not None:
+        wall = _time.time() - t0
+        done_samples = (n_chunks - start_chunk) * chunk
+        stats.add("Camera", "Samples taken", done_samples)
+        stats.add("Camera", "Rays generated (incl. differentials)",
+                  3 * done_samples)
+        stats.add("Film", "Wavefront chunks", n_chunks - start_chunk)
+        stats.add("Performance", "Wall-clock seconds", round(wall, 3))
+        stats.add("Performance", "Samples per second",
+                  int(done_samples / max(wall, 1e-9)))
     return np.asarray(rgb), np.asarray(alpha)

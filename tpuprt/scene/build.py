@@ -15,7 +15,6 @@ from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
-import jax.numpy as jnp
 
 from ..core import transform as tf
 from ..materials.factory import MATERIAL_KINDS
@@ -387,23 +386,23 @@ class SceneBuilder:
         nq = len(self.quadrics)
         if nq:
             q = D.QuadricTable(
-                kind=jnp.asarray([x.kind for x in self.quadrics], jnp.int32),
-                o2w=jnp.asarray(np.stack([x.o2w for x in self.quadrics])),
-                w2o=jnp.asarray(np.stack(
+                kind=np.asarray([x.kind for x in self.quadrics], np.int32),
+                o2w=np.asarray(np.stack([x.o2w for x in self.quadrics])),
+                w2o=np.asarray(np.stack(
                     [np.linalg.inv(x.o2w).astype(np.float32)
                      for x in self.quadrics])),
-                params=jnp.asarray(np.stack([x.params for x in self.quadrics])),
-                material=jnp.asarray([x.material for x in self.quadrics], jnp.int32),
-                area_light=jnp.asarray([x.area_light for x in self.quadrics], jnp.int32),
-                flip_normal=jnp.asarray([x.flip for x in self.quadrics], jnp.float32),
+                params=np.asarray(np.stack([x.params for x in self.quadrics])),
+                material=np.asarray([x.material for x in self.quadrics], np.int32),
+                area_light=np.asarray([x.area_light for x in self.quadrics], np.int32),
+                flip_normal=np.asarray([x.flip for x in self.quadrics], np.float32),
                 count=nq,
                 kinds_present=tuple(sorted({x.kind for x in self.quadrics})))
         else:
-            z = jnp.zeros
-            q = D.QuadricTable(kind=z((0,), jnp.int32), o2w=z((0, 4, 4)),
+            z = np.zeros
+            q = D.QuadricTable(kind=z((0,), np.int32), o2w=z((0, 4, 4)),
                                w2o=z((0, 4, 4)), params=z((0, 8)),
-                               material=z((0,), jnp.int32),
-                               area_light=z((0,), jnp.int32),
+                               material=z((0,), np.int32),
+                               area_light=z((0,), np.int32),
                                flip_normal=z((0,)), count=0,
                                kinds_present=())
 
@@ -435,24 +434,24 @@ class SceneBuilder:
         nt_total = toff
         if nt_total:
             tri = D.TriangleTable(
-                verts=jnp.asarray(np.concatenate(verts_l)),
-                idx=jnp.asarray(np.concatenate(idx_l)),
-                normals=jnp.asarray(np.concatenate(n_l)),
-                uv=jnp.asarray(np.concatenate(uv_l)),
-                tangents=jnp.asarray(np.concatenate(tan_l)),
-                has_normals=jnp.asarray(np.concatenate(hasn_l)),
-                has_tangents=jnp.asarray(np.concatenate(hast_l)),
-                material=jnp.asarray(np.concatenate(mat_l)),
-                area_light=jnp.asarray(np.concatenate(al_l)),
-                flip_normal=jnp.asarray(np.concatenate(flip_l)),
+                verts=np.asarray(np.concatenate(verts_l)),
+                idx=np.asarray(np.concatenate(idx_l)),
+                normals=np.asarray(np.concatenate(n_l)),
+                uv=np.asarray(np.concatenate(uv_l)),
+                tangents=np.asarray(np.concatenate(tan_l)),
+                has_normals=np.asarray(np.concatenate(hasn_l)),
+                has_tangents=np.asarray(np.concatenate(hast_l)),
+                material=np.asarray(np.concatenate(mat_l)),
+                area_light=np.asarray(np.concatenate(al_l)),
+                flip_normal=np.asarray(np.concatenate(flip_l)),
                 count=nt_total)
         else:
-            z = jnp.zeros
+            z = np.zeros
             tri = D.TriangleTable(
-                verts=z((1, 3)), idx=z((0, 3), jnp.int32), normals=z((1, 3)),
+                verts=z((1, 3)), idx=z((0, 3), np.int32), normals=z((1, 3)),
                 uv=z((1, 2)), tangents=z((1, 3)),
                 has_normals=z((0,), bool), has_tangents=z((0,), bool),
-                material=z((0,), jnp.int32), area_light=z((0,), jnp.int32),
+                material=z((0,), np.int32), area_light=z((0,), np.int32),
                 flip_normal=z((0,)), count=0)
 
         # Materials (+ build-time lobe templates, materials/factory.py).
@@ -461,24 +460,24 @@ class SceneBuilder:
         mats = self.materials or [(0, [self.constant_texture((0.5,) * 3),
                                        self.constant_texture(0.0)] + [-1] * 6, -1)]
         materials = D.MaterialTable(
-            kind=jnp.asarray([m[0] for m in mats], jnp.int32),
-            tex=jnp.asarray([m[1] for m in mats], jnp.int32),
-            bump=jnp.asarray([m[2] for m in mats], jnp.int32),
+            kind=np.asarray([m[0] for m in mats], np.int32),
+            tex=np.asarray([m[1] for m in mats], np.int32),
+            bump=np.asarray([m[2] for m in mats], np.int32),
             count=nm, has_bump=any(m[2] >= 0 for m in mats),
             **build_templates(mats))
 
         # Texture graph.
         if self.tex_nodes:
             textures = TexGraph(
-                fparams=jnp.asarray(np.stack(self.tex_fparams)),
-                w2t=jnp.asarray(np.stack(self.tex_w2t)),
+                fparams=np.asarray(np.stack(self.tex_fparams)),
+                w2t=np.asarray(np.stack(self.tex_w2t)),
                 nodes=tuple(self.tex_nodes))
         else:
             from ..textures.graph import empty_graph
             textures = empty_graph()
 
         images = tuple(
-            D.ImagePyramid(levels=tuple(jnp.asarray(l) for l in lv), wrap=w)
+            D.ImagePyramid(levels=tuple(np.asarray(l) for l in lv), wrap=w)
             for (lv, w) in self.images)
 
         # Lights: resolve mesh-range area lights, pack CDFs.
@@ -517,35 +516,35 @@ class SceneBuilder:
             and l.image >= 0)
         if nl:
             lt_tab = D.LightTable(
-                kind=jnp.asarray([l.kind for l in self.lights], jnp.int32),
-                l2w=jnp.asarray(np.stack([l.l2w for l in self.lights])),
-                w2l=jnp.asarray(np.stack(
+                kind=np.asarray([l.kind for l in self.lights], np.int32),
+                l2w=np.asarray(np.stack([l.l2w for l in self.lights])),
+                w2l=np.asarray(np.stack(
                     [np.linalg.inv(l.l2w).astype(np.float32)
                      for l in self.lights])),
-                spectrum=jnp.asarray(np.stack([l.spectrum for l in self.lights])),
-                params=jnp.asarray(np.stack([l.params for l in self.lights])),
-                nsamples=jnp.asarray([l.nsamples for l in self.lights], jnp.int32),
-                image=jnp.asarray([l.image for l in self.lights], jnp.int32),
-                area_geom_kind=jnp.asarray(
-                    [l.area_geom_kind for l in self.lights], jnp.int32),
-                area_first=jnp.asarray([l.area_first for l in self.lights], jnp.int32),
-                area_count=jnp.asarray([l.area_count for l in self.lights], jnp.int32),
-                area_total_area=jnp.asarray(
-                    [l.area_total for l in self.lights], jnp.float32),
-                cdf_offset=jnp.asarray(cdf_off, jnp.int32),
-                area_cdf=jnp.asarray(cdf_flat, jnp.float32),
+                spectrum=np.asarray(np.stack([l.spectrum for l in self.lights])),
+                params=np.asarray(np.stack([l.params for l in self.lights])),
+                nsamples=np.asarray([l.nsamples for l in self.lights], np.int32),
+                image=np.asarray([l.image for l in self.lights], np.int32),
+                area_geom_kind=np.asarray(
+                    [l.area_geom_kind for l in self.lights], np.int32),
+                area_first=np.asarray([l.area_first for l in self.lights], np.int32),
+                area_count=np.asarray([l.area_count for l in self.lights], np.int32),
+                area_total_area=np.asarray(
+                    [l.area_total for l in self.lights], np.float32),
+                cdf_offset=np.asarray(cdf_off, np.int32),
+                area_cdf=np.asarray(cdf_flat, np.float32),
                 count=nl, infinite_meta=infinite_meta,
                 dir_map_meta=dir_map_meta, max_area_count=max_cnt,
                 kinds_present=tuple(sorted({l.kind for l in self.lights})))
         else:
-            z = jnp.zeros
+            z = np.zeros
             lt_tab = D.LightTable(
-                kind=z((0,), jnp.int32), l2w=z((0, 4, 4)), w2l=z((0, 4, 4)),
+                kind=z((0,), np.int32), l2w=z((0, 4, 4)), w2l=z((0, 4, 4)),
                 spectrum=z((0, 3)), params=z((0, 8)),
-                nsamples=z((0,), jnp.int32), image=z((0,), jnp.int32),
-                area_geom_kind=z((0,), jnp.int32), area_first=z((0,), jnp.int32),
-                area_count=z((0,), jnp.int32), area_total_area=z((0,)),
-                cdf_offset=z((0,), jnp.int32), area_cdf=z((1,)),
+                nsamples=z((0,), np.int32), image=z((0,), np.int32),
+                area_geom_kind=z((0,), np.int32), area_first=z((0,), np.int32),
+                area_count=z((0,), np.int32), area_total_area=z((0,)),
+                cdf_offset=z((0,), np.int32), area_cdf=z((1,)),
                 count=0, infinite_meta=(), dir_map_meta=(), max_area_count=1,
                 kinds_present=())
 
@@ -574,18 +573,18 @@ class SceneBuilder:
             nv_ = len(self.volumes)
             vv = self.volumes
             vols = D.VolumeTable(
-                kind=jnp.asarray([v["kind"] for v in vv], jnp.int32),
-                w2v=jnp.asarray(np.stack([v["w2v"] for v in vv])),
-                v2w=jnp.asarray(np.stack([v["v2w"] for v in vv])),
-                bound_lo=jnp.asarray(np.stack([v["lo"] for v in vv])),
-                bound_hi=jnp.asarray(np.stack([v["hi"] for v in vv])),
-                sigma_a=jnp.asarray(np.stack([v["sigma_a"] for v in vv])),
-                sigma_s=jnp.asarray(np.stack([v["sigma_s"] for v in vv])),
-                le=jnp.asarray(np.stack([v["le"] for v in vv])),
-                g=jnp.asarray([v["g"] for v in vv], jnp.float32),
-                params=jnp.asarray(np.stack([v["params"] for v in vv])),
-                updir=jnp.asarray(np.stack([v["updir"] for v in vv])),
-                density=tuple(jnp.asarray(v["density"])
+                kind=np.asarray([v["kind"] for v in vv], np.int32),
+                w2v=np.asarray(np.stack([v["w2v"] for v in vv])),
+                v2w=np.asarray(np.stack([v["v2w"] for v in vv])),
+                bound_lo=np.asarray(np.stack([v["lo"] for v in vv])),
+                bound_hi=np.asarray(np.stack([v["hi"] for v in vv])),
+                sigma_a=np.asarray(np.stack([v["sigma_a"] for v in vv])),
+                sigma_s=np.asarray(np.stack([v["sigma_s"] for v in vv])),
+                le=np.asarray(np.stack([v["le"] for v in vv])),
+                g=np.asarray([v["g"] for v in vv], np.float32),
+                params=np.asarray(np.stack([v["params"] for v in vv])),
+                updir=np.asarray(np.stack([v["updir"] for v in vv])),
+                density=tuple(np.asarray(v["density"])
                               if v["density"] is not None else None
                               for v in vv),
                 count=nv_)
@@ -597,7 +596,7 @@ class SceneBuilder:
             quadrics=q, triangles=tri, materials=materials, textures=textures,
             images=images, lights=lt_tab, volumes=vols, camera=self.camera,
             accel=None, env_importance=tuple(env_dists),
-            world_bound_lo=jnp.asarray(wlo), world_bound_hi=jnp.asarray(whi))
+            world_bound_lo=np.asarray(wlo), world_bound_hi=np.asarray(whi))
 
         # Accelerator: explicit request, or automatic for big scenes (the
         # reference defaults to kdtree for everything, api.cpp:495; brute
@@ -618,6 +617,17 @@ class SceneBuilder:
             else:
                 from ..accel.grid_build import build_grid
                 scene = dataclasses.replace(scene, accel=build_grid(scene))
+
+        # One device_put sweep over the finished pytree. All assembly above
+        # is host numpy on purpose: each parse-time jnp *computation* costs
+        # a tiny XLA compile (~0.5s over a remote-TPU tunnel, below the
+        # persistent cache's min-compile-time threshold, so paid every run).
+        # device_put compiles nothing, and eager (non-jit) consumers need
+        # jnp leaves for tracer indexing inside lax loops.
+        import jax
+        scene = jax.tree_util.tree_map(
+            lambda x: jax.device_put(np.ascontiguousarray(x))
+            if isinstance(x, np.ndarray) else x, scene)
         return scene
 
 
@@ -628,7 +638,6 @@ def _build_env_dist(finest: "np.ndarray") -> "D.EnvDist":
     luminance * sin(pi*(v+.5)/nv), plus the marginal over columns. CDFs use
     the ComputeStep1dCDF convention (core/mc.cpp:31-53): steps of
     func[i]/(n*funcInt); Sample pdf = func[offset]/funcInt."""
-    import jax.numpy as jnp_
     img = np.asarray(finest, np.float32)
     nv, nu = img.shape[0], img.shape[1]          # rows = t/theta, cols = s/phi
     yw = np.asarray([0.212671, 0.715160, 0.072169], np.float32)
@@ -657,7 +666,6 @@ def _build_env_dist(finest: "np.ndarray") -> "D.EnvDist":
     cdf_v, int_v = step_cdf(func_v)
     func_u = int_v.copy()                        # marginal = column integrals
     cdf_u, int_u = step_cdf(func_u)
-    return D.EnvDist(func_u=jnp_.asarray(func_u), cdf_u=jnp_.asarray(cdf_u),
-                     int_u=jnp_.asarray(int_u), func_v=jnp_.asarray(func_v),
-                     cdf_v=jnp_.asarray(cdf_v), int_v=jnp_.asarray(int_v),
+    return D.EnvDist(func_u=func_u, cdf_u=cdf_u, int_u=int_u,
+                     func_v=func_v, cdf_v=cdf_v, int_v=int_v,
                      nu=int(nu), nv=int(nv))

@@ -124,12 +124,24 @@ def parse_params(ts: _TokenStream) -> Dict[str, Tuple[str, list]]:
 
 
 class ParamSet:
-    """Typed lookup with defaults (core/paramset.h FindOne* semantics)."""
+    """Typed lookup with defaults (core/paramset.h FindOne* semantics).
+
+    Tracks which names were looked up so report_unused() can warn on
+    typo'd scene parameters (core/paramset.cpp:242 ReportUnused, invoked
+    by every Make* factory in core/dynload.cpp)."""
 
     def __init__(self, raw: Dict[str, Tuple[str, list]]):
         self.raw = raw
+        self._looked = set()
+
+    def report_unused(self, where: str):
+        from ..utils import errors
+        for name in self.raw:
+            if name not in self._looked:
+                errors.warning(f'parameter "{name}" not used', where)
 
     def find_one(self, name, default):
+        self._looked.add(name)
         if name not in self.raw:
             return default
         vals = self.raw[name][1]
@@ -143,6 +155,7 @@ class ParamSet:
         return v
 
     def find_spectrum(self, name, default):
+        self._looked.add(name)
         if name not in self.raw:
             return np.asarray(default, np.float32)
         vals = self.raw[name][1]
@@ -151,24 +164,29 @@ class ParamSet:
         return np.asarray(vals[:3], np.float32)
 
     def find_point(self, name, default):
+        self._looked.add(name)
         if name not in self.raw:
             return np.asarray(default, np.float32)
         return np.asarray(self.raw[name][1][:3], np.float32)
 
     def find_floats(self, name):
+        self._looked.add(name)
         if name not in self.raw:
             return None
         return np.asarray(self.raw[name][1], np.float32)
 
     def find_ints(self, name):
+        self._looked.add(name)
         if name not in self.raw:
             return None
         return np.asarray(self.raw[name][1], np.int32)
 
     def is_texture(self, name):
+        self._looked.add(name)
         return name in self.raw and self.raw[name][0] == "texture"
 
     def texture_name(self, name):
+        self._looked.add(name)
         return self.raw[name][1][0]
 
 
@@ -327,10 +345,12 @@ class PbrtParser:
             params = ParamSet(parse_params(ts))
             tid = self._make_texture(tex_class, tex_type, params)
             self.named_textures[tex_name] = tid
+            params.report_unused(f'Texture "{tex_name}" ({tex_class})')
         elif name == "LightSource":
             light_name = ts.next()[1]
             params = ParamSet(parse_params(ts))
             self._make_light(light_name, params)
+            params.report_unused(f'LightSource "{light_name}"')
         elif name == "AreaLightSource":
             al_name = ts.next()[1]
             self.gs.area_light = (al_name, ParamSet(parse_params(ts)))
@@ -342,6 +362,7 @@ class PbrtParser:
                     (shape_name, params, self.ctm.copy(), self._copy_gs()))
             else:
                 self._make_shape(shape_name, params, self.ctm, self.gs)
+                params.report_unused(f'Shape "{shape_name}"')
         elif name == "ObjectBegin":
             self.current_object = ts.next()[1]
             self.objects[self.current_object] = []
@@ -357,8 +378,12 @@ class PbrtParser:
             vol_name = ts.next()[1]
             params = ParamSet(parse_params(ts))
             self._make_volume(vol_name, params)
+            params.report_unused(f'Volume "{vol_name}"')
         else:
-            # Unknown directive: consume its params defensively.
+            # Unknown directive: warn (the reference's parser errors on
+            # unknown statements) and consume its params defensively.
+            from ..utils import errors
+            errors.warning(f'unknown directive "{name}" ignored')
             parse_params(ts)
 
     def _copy_gs(self):
@@ -711,6 +736,11 @@ class PbrtParser:
         yres = self.film_params.find_one("yresolution", 480)
         crop = self.film_params.find_floats("cropwindow")
         crop = tuple(crop) if crop is not None else (0.0, 1.0, 0.0, 1.0)
+        filename = self.film_params.find_one("filename", "pbrt.exr")
+        writefrequency = self.film_params.find_one("writefrequency", -1)
+        # Consumed-but-unsupported film params (no gamma-correcting TIFF
+        # path here; develop() always writes linear EXR).
+        self.film_params.find_one("premultiplyalpha", True)
 
         c2w = np.linalg.inv(self.camera_w2c).astype(np.float32)
         p = self.camera_params
@@ -805,7 +835,20 @@ class PbrtParser:
             volume_integrator=("single" if self.volume_integrator_name ==
                                "single" else "emission"),
             max_depth=self.integrator_params.find_one("maxdepth", 5),
+            filename=filename, writefrequency=writefrequency,
             crop=crop, photon=photon, igi=igi_p, irrad=irrad)
+        for ps, where in ((self.camera_params,
+                           f'Camera "{self.camera_name}"'),
+                          (self.sampler_params,
+                           f'Sampler "{self.sampler_name}"'),
+                          (self.film_params, 'Film "image"'),
+                          (self.filter_params,
+                           f'PixelFilter "{self.filter_name}"'),
+                          (self.integrator_params,
+                           f'SurfaceIntegrator "{self.integrator_name}"'),
+                          (self.accel_params,
+                           f'Accelerator "{self.accel_name}"')):
+            ps.report_unused(where)
         scene = self.builder.build()
         return scene, opts
 
