@@ -1,0 +1,86 @@
+"""Wavefront path regeneration (stream compaction; SURVEY.md step 3,
+VERDICT round-1 item 7) must reproduce the scan integrator exactly:
+random streams are keyed on (pixel, sample, bounce), never lane position,
+so regeneration changes scheduling but not any sample's estimate."""
+import numpy as np
+import pytest
+
+from tpuprt.scene.parser import load_scene_string
+from tpuprt import render as R
+from tpuprt.integrators import path_wavefront
+from tpuprt.utils.stats import StatsRegistry
+
+
+CORNELL = """
+Film "image" "integer xresolution" [40] "integer yresolution" [40]
+Camera "perspective" "float fov" [55]
+Sampler "lowdiscrepancy" "integer pixelsamples" [2]
+SurfaceIntegrator "path" "integer maxdepth" [4]
+WorldBegin
+AttributeBegin
+  AreaLightSource "area" "color L" [8 8 8]
+  Translate 0 1.9 3
+  Shape "sphere" "float radius" [0.3]
+AttributeEnd
+Material "matte" "color Kd" [0.7 0.7 0.7]
+Translate 0 0 3
+Shape "sphere" "float radius" [1000] "float zmin" [-1002] "float zmax" [-998]
+AttributeBegin
+  Material "matte" "color Kd" [0.2 0.6 0.3]
+  Translate 0 -0.5 0
+  Shape "sphere" "float radius" [0.7]
+AttributeEnd
+AttributeBegin
+  Material "mirror"
+  Translate 1.2 -0.3 -0.5
+  Shape "sphere" "float radius" [0.45]
+AttributeEnd
+WorldEnd
+"""
+
+
+def _scene():
+    scene, opts = load_scene_string(CORNELL)
+    return scene, opts
+
+
+def test_wavefront_matches_scan_exactly():
+    scene, opts = _scene()
+    opts = opts._replace(integrator="path", filter_kind="box",
+                         filter_xwidth=0.5, filter_ywidth=0.5,
+                         chunk_size=1024)
+    rgb_scan, alpha_scan = R.render(scene, opts)
+    stats = StatsRegistry()
+    rgb_wf, alpha_wf = path_wavefront.render(scene, opts, stats=stats)
+    assert np.isfinite(rgb_wf).all()
+    # Same per-sample estimates; only the scatter-add order differs.
+    np.testing.assert_allclose(rgb_wf, rgb_scan, atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(alpha_wf, alpha_scan, atol=1e-5)
+    # Regeneration must beat the scan driver's dead-lane occupancy: with
+    # maxdepth 4 the scan runs 5 full-width passes regardless of liveness.
+    segs = stats.get("Wavefront", "Path segments traced")
+    passes = stats.get("Wavefront", "Passes")
+    assert segs > 0 and passes > 0
+    occupancy = segs / (passes * 1024)
+    assert occupancy > 0.5, occupancy
+
+
+def test_wavefront_small_lane_pool():
+    """Lane pool smaller than the sample count: cursor drains the whole
+    space and every sample still lands once (weights match full render)."""
+    scene, opts = _scene()
+    opts = opts._replace(integrator="path", filter_kind="box",
+                         filter_xwidth=0.5, filter_ywidth=0.5)
+    big = path_wavefront.render(scene, opts._replace(chunk_size=4096))[0]
+    small = path_wavefront.render(scene, opts._replace(chunk_size=640))[0]
+    np.testing.assert_allclose(small, big, atol=2e-4, rtol=2e-4)
+
+
+def test_wavefront_rejects_volumes():
+    scene, opts = _scene()
+    vol_scene, vol_opts = load_scene_string(CORNELL.replace(
+        "WorldEnd",
+        'Volume "homogeneous" "color sigma_a" [0.1 0.1 0.1] '
+        '"point p0" [-5 -5 0] "point p1" [5 5 6]\nWorldEnd'))
+    with pytest.raises(ValueError):
+        path_wavefront.render(vol_scene, vol_opts)

@@ -1,0 +1,260 @@
+"""Wavefront path tracing with path regeneration (stream compaction).
+
+The scan-based integrator (path.py) carries every camera sample through
+max_depth+1 bounce passes even after its path dies; in a depth-5 Cornell
+trace most lanes are dead after 2-3 bounces, so roughly half the
+intersect/shade work is wasted (SURVEY.md step 3 calls for compaction).
+
+On a vector machine the idiomatic fix is not physical compaction (a sort
++ gather that still leaves a ragged tail) but **path regeneration**: one
+fixed-size lane pool; the moment a lane's path terminates, its radiance
+is splatted to the film and the lane immediately restarts with the next
+(pixel, sample) from a global cursor. Every pass then runs at ~full lane
+occupancy until the sample space drains. This is the TPU analogue of the
+wavefront/persistent-threads design, replacing the reference's one-
+sample-at-a-time loop (/root/reference/core/scene.cpp:42-83).
+
+Estimator equivalence: every random stream is a pure function of
+(pixel, sample-index, bounce, purpose) — never of lane position or
+scheduling — so each camera sample computes exactly what path.li computes
+and the developed image matches to scatter-add reordering (~1e-6).
+
+Semantics preserved from path.cpp:58-145 via the same building blocks:
+MIS one-light NEE, Le only on first/post-specular vertices, RR p=0.5
+after bounce 3. Volume scenes fall back to the scan driver (the
+camera-segment volume composition needs per-sample t_first at develop
+time, which the regenerating pool does not keep).
+"""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..accel import intersect as isect
+from ..bsdf import bsdf as B
+from ..cameras import cameras as cam_mod
+from ..core import rng, vecmath as vm
+from ..film import film as film_mod
+from ..lights import lights as lt
+from ..samplers import samplers as smp
+from ..scene.data import SceneData
+from . import common
+
+_EPS = vm.RAY_EPSILON
+
+
+def _regen(scene: SceneData, cfg, lin, seed, xres, yres, xstart, xcount,
+           ystart, spp):
+    """Fresh camera rays (+x/+y differentials) for linear sample ids."""
+    s_idx = (lin % spp).astype(jnp.int32)
+    pix = lin // spp
+    px = (xstart + pix % xcount).astype(jnp.int32)
+    py = (ystart + pix // xcount).astype(jnp.int32)
+    cs = smp.camera_samples(cfg, px, py, s_idx, seed)
+    o, d, mint, maxt, _t = cam_mod.generate_rays(
+        scene.camera, cs["image_x"], cs["image_y"], cs["lens_u"],
+        cs["lens_v"], cs["time"], xres, yres)
+    o_rx, d_rx, *_ = cam_mod.generate_rays(
+        scene.camera, cs["image_x"] + 1.0, cs["image_y"], cs["lens_u"],
+        cs["lens_v"], cs["time"], xres, yres)
+    o_ry, d_ry, *_ = cam_mod.generate_rays(
+        scene.camera, cs["image_x"], cs["image_y"] + 1.0, cs["lens_u"],
+        cs["lens_v"], cs["time"], xres, yres)
+    return dict(px=px, py=py, s_idx=s_idx, ix=cs["image_x"],
+                iy=cs["image_y"], o=o, d=d, mint=mint, maxt=maxt,
+                rx_o=o_rx, rx_d=d_rx, ry_o=o_ry, ry_d=d_ry)
+
+
+def _step(scene: SceneData, film, st, cursor, cfg, seed, max_depth,
+          rr_start, total, xres, yres, xstart, xcount, ystart, spp,
+          filter_kind, filter_xwidth, filter_ywidth):
+    """One wavefront pass: bounce every live lane once, splat + regenerate
+    finished lanes. Returns (film, state, cursor, n_alive, n_active)."""
+    alive = st["alive"]
+    px, py, s_idx, bounce = st["px"], st["py"], st["s_idx"], st["bounce"]
+    ro, rd = st["o"], st["d"]
+    throughput, L = st["throughput"], st["L"]
+    specular, alpha = st["specular"], st["alpha"]
+    first = bounce == 0
+    ph = rng.hash_u32(px, py, seed, 0xBA5E)
+    has_inf = bool(scene.lights.infinite_meta)
+    has_lights = scene.lights.count > 0
+    n_active = jnp.sum(alive.astype(jnp.float32))
+
+    t, pid, hit = isect.intersect_ids(scene, ro, rd, st["mint"], st["maxt"])
+
+    if has_inf:
+        take_le = ~hit & alive & (first | specular)
+        Lesc = lt.le_escaped(scene, rd)
+        L = L + jnp.where(take_le[..., None], throughput * Lesc, 0.0)
+        alpha = jnp.where(take_le & first & jnp.any(Lesc > 0, -1), 1.0,
+                          alpha)
+    alive = alive & hit
+    alpha = jnp.where(first & hit, 1.0, alpha)
+
+    dg = isect.hit_geometry(scene, pid, ro, rd, t)
+    dg = isect.compute_differentials(dg, st["rx_o"], st["rx_d"],
+                                     st["ry_o"], st["ry_d"], first & alive)
+
+    if has_lights:
+        emit_ok = alive & (first | specular)
+        Le = lt.area_emission(scene, dg["area_light"], dg["nn"], -rd)
+        L = L + jnp.where(emit_ok[..., None], throughput * Le, 0.0)
+
+    bsdf = common.make_bsdf_at(scene, dg)
+    p, ns = dg["p"], bsdf.nn
+    wo = -rd
+
+    if has_lights:
+        u_num = smp.integrator_1d(cfg, px, py, s_idx, bounce, 10, seed)
+        ls1, ls2 = smp.integrator_2d(cfg, px, py, s_idx, bounce, 11, seed)
+        bs1, bs2 = smp.integrator_2d(cfg, px, py, s_idx, bounce, 12, seed)
+        bcs = smp.integrator_1d(cfg, px, py, s_idx, bounce, 13, seed)
+        ls3 = rng.uniform(ph, s_idx, bounce, 16)
+        Ld = common.uniform_sample_one_light(
+            scene, p, ns, wo, bsdf, u_num, ls1, ls2, ls3, bs1, bs2, bcs,
+            alive)
+        L = L + jnp.where(alive[..., None], throughput * Ld, 0.0)
+
+    c1, c2 = smp.integrator_2d(cfg, px, py, s_idx, bounce, 20, seed)
+    c3 = smp.integrator_1d(cfg, px, py, s_idx, bounce, 21, seed)
+    bs = B.sample_f(bsdf, wo, c1, c2, c3, B.ALL)
+    cont = alive & bs["valid"] & (bs["pdf"] > 0.0) & \
+        ~jnp.all(bs["f"] == 0.0, axis=-1) & (bounce < max_depth)
+    scale = bs["f"] * (vm.absdot(bs["wi"], ns) /
+                       jnp.maximum(bs["pdf"], 1e-20))[..., None]
+    throughput = jnp.where(cont[..., None], throughput * scale, throughput)
+    specular = jnp.where(cont, bs["specular"], specular)
+    alive = cont
+
+    u_rr = rng.uniform(ph, s_idx, bounce, 30)
+    do_rr = bounce >= rr_start
+    survive = ~do_rr | (u_rr < 0.5)
+    alive = alive & survive
+    throughput = jnp.where((alive & do_rr)[..., None], throughput / 0.5,
+                           throughput)
+
+    ro = p
+    rd = bs["wi"]
+    bounce = bounce + 1
+
+    # --- finish & splat -------------------------------------------------
+    finished = st["alive"] & ~alive
+    bad = jnp.any(~jnp.isfinite(L) | (L < 0.0), axis=-1)
+    Ls = jnp.where((finished & ~bad)[..., None], L, 0.0)
+    ix = jnp.where(finished, st["ix"], -1e6)
+    iy = jnp.where(finished, st["iy"], -1e6)
+    film = film_mod.add_samples(film, ix, iy, Ls,
+                                jnp.where(finished, alpha, 0.0),
+                                filter_kind, filter_xwidth, filter_ywidth)
+
+    # --- regenerate ------------------------------------------------------
+    dead = ~alive
+    slot = jnp.cumsum(dead.astype(jnp.int32)) - 1      # rank among dead
+    new_lin = cursor + slot
+    regen = dead & (new_lin < total)
+    fresh = _regen(scene, cfg, jnp.where(regen, new_lin, 0), seed, xres,
+                   yres, xstart, xcount, ystart, spp)
+    n_regen = jnp.sum(regen.astype(jnp.int32))
+
+    def sel(new, old):
+        m = regen
+        while m.ndim < new.ndim:
+            m = m[..., None]
+        return jnp.where(m, new, old)
+
+    st_out = dict(
+        alive=alive | regen,
+        px=sel(fresh["px"], px), py=sel(fresh["py"], py),
+        s_idx=sel(fresh["s_idx"], s_idx),
+        bounce=jnp.where(regen, 0, bounce),
+        ix=sel(fresh["ix"], st["ix"]), iy=sel(fresh["iy"], st["iy"]),
+        o=sel(fresh["o"], ro), d=sel(fresh["d"], rd),
+        mint=sel(fresh["mint"], jnp.full_like(st["mint"], _EPS)),
+        maxt=sel(fresh["maxt"], jnp.full_like(st["maxt"], 1e30)),
+        rx_o=sel(fresh["rx_o"], st["rx_o"]),
+        rx_d=sel(fresh["rx_d"], st["rx_d"]),
+        ry_o=sel(fresh["ry_o"], st["ry_o"]),
+        ry_d=sel(fresh["ry_d"], st["ry_d"]),
+        throughput=sel(jnp.ones_like(throughput), throughput),
+        L=sel(jnp.zeros_like(L), L),
+        alpha=jnp.where(regen, 0.0, alpha),
+        specular=jnp.where(regen, False, specular),
+    )
+    cursor = cursor + n_regen
+    n_alive = jnp.sum(st_out["alive"].astype(jnp.int32))
+    return film, st_out, cursor, n_alive, n_active
+
+
+def render(scene: SceneData, opts, progress: bool = False, stats=None):
+    """Full-frame wavefront render (path integrator only). Returns
+    (rgb, alpha) like render.render."""
+    if scene.volumes is not None and scene.volumes.count > 0:
+        raise ValueError("wavefront driver does not support volume scenes; "
+                         "use the scan driver")
+    film = film_mod.make_film(opts.xres, opts.yres, opts.crop)
+    xstart, xcount, ystart, ycount = film_mod.pixel_extent(film)
+    spp = smp.samples_per_pixel(opts.sampler)
+    total = xcount * ycount * spp
+    n_lanes = int(min(opts.chunk_size, total))
+    cfg = opts.sampler
+
+    @jax.jit
+    def jstep(film, st, cursor):
+        return _step(scene, film, st, cursor, cfg, opts.seed,
+                     opts.max_depth, 3, total, opts.xres, opts.yres,
+                     xstart, xcount, ystart, spp, opts.filter_kind,
+                     opts.filter_xwidth, opts.filter_ywidth)
+
+    # Initial fill: lanes 0..n_lanes-1 take the first sample ids.
+    lin0 = jnp.arange(n_lanes)
+    valid0 = lin0 < total
+    fresh = _regen(scene, cfg, jnp.minimum(lin0, total - 1), opts.seed,
+                   opts.xres, opts.yres, xstart, xcount, ystart, spp)
+    z3 = jnp.zeros((n_lanes, 3), jnp.float32)
+    st = dict(alive=valid0, bounce=jnp.zeros(n_lanes, jnp.int32),
+              px=fresh["px"], py=fresh["py"], s_idx=fresh["s_idx"],
+              ix=fresh["ix"], iy=fresh["iy"],
+              o=fresh["o"], d=fresh["d"], mint=fresh["mint"],
+              maxt=fresh["maxt"], rx_o=fresh["rx_o"], rx_d=fresh["rx_d"],
+              ry_o=fresh["ry_o"], ry_d=fresh["ry_d"],
+              throughput=z3 + 1.0, L=z3,
+              alpha=jnp.zeros(n_lanes, jnp.float32),
+              specular=jnp.zeros(n_lanes, bool))
+    cursor = jnp.asarray(n_lanes if total >= n_lanes else total, jnp.int32)
+
+    rep = None
+    if progress:
+        from ..utils.progress import ProgressReporter
+        rep = ProgressReporter(total, "Rendering")
+
+    segments = 0.0
+    passes = 0
+    done = 0
+    while True:
+        film, st, cursor, n_alive, n_active = jstep(film, st, cursor)
+        passes += 1
+        segments += float(n_active)
+        n_alive = int(n_alive)
+        if rep is not None:
+            newly = int(cursor) - done if int(cursor) > done else 0
+            done = int(cursor)
+            if newly:
+                rep.update(newly)
+        if n_alive == 0:
+            break
+    if rep is not None:
+        rep.done()
+
+    if stats is not None:
+        stats.add("Wavefront", "Passes", passes)
+        stats.add("Wavefront", "Path segments traced", segments)
+        stats.add_ratio("Wavefront", "Lane occupancy",
+                        segments, float(passes) * n_lanes)
+        stats.add("Camera", "Samples taken", total)
+
+    rgb, alpha = film_mod.develop(film)
+    return np.asarray(rgb), np.asarray(alpha)
