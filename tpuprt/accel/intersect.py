@@ -19,6 +19,22 @@ _BIG = jnp.float32(1e30)
 PRIM_QUADRIC = 0
 PRIM_TRIANGLE = 1
 
+# The Pallas dense Möller-Trumbore kernel (ops/mt_pallas.py) beats the jnp
+# all-pairs path on TPU once the [N, T] intermediates stop fitting caches
+# (measured 2.6x at 64K rays x 1K tris on v5e, and the jnp path OOMs HBM
+# beyond ~128K x 4K). Below the threshold XLA's fusion of the tiny test
+# into surrounding ops wins. Set to 0/None to force on/off (tests use
+# force_pallas to exercise the kernel in interpret mode on CPU).
+PALLAS_MIN_TRIS = 256
+force_pallas = None  # None = auto by backend; True/False = override
+
+
+def _use_pallas_mt(nt: int) -> bool:
+    if force_pallas is not None:
+        return force_pallas
+    import jax
+    return nt >= PALLAS_MIN_TRIS and jax.default_backend() == "tpu"
+
 
 def _brute_force(scene: SceneData, o, d, mint, maxt):
     """Nearest hit over all prims. Returns (t[N], prim_id[N], hit[N])."""
@@ -36,10 +52,20 @@ def _brute_force(scene: SceneData, o, d, mint, maxt):
         best_t = jnp.where(upd, qt, best_t)
         best_id = jnp.where(upd, qi.astype(jnp.int32), best_id)
     if nt:
-        tt, vt = triangle.intersect(scene.triangles, o, d, mint, maxt)
-        tt = jnp.where(vt, tt, _BIG)
-        ti = jnp.argmin(tt, axis=1)
-        t_best = jnp.take_along_axis(tt, ti[:, None], axis=1)[:, 0]
+        if _use_pallas_mt(nt):
+            import jax
+            from ..ops import mt_pallas
+            p0, p1, p2 = triangle.gather_verts(scene.triangles,
+                                               jnp.arange(nt))
+            t_best, ti, hit_tri = mt_pallas.intersect_tris(
+                p0, p1, p2, o, d, mint, maxt,
+                interpret=jax.default_backend() != "tpu")
+            t_best = jnp.where(hit_tri, t_best, _BIG)
+        else:
+            tt, vt = triangle.intersect(scene.triangles, o, d, mint, maxt)
+            tt = jnp.where(vt, tt, _BIG)
+            ti = jnp.argmin(tt, axis=1).astype(jnp.int32)
+            t_best = jnp.take_along_axis(tt, ti[:, None], axis=1)[:, 0]
         upd = t_best < best_t
         best_t = jnp.where(upd, t_best, best_t)
         best_id = jnp.where(upd, ti.astype(jnp.int32) + nq, best_id)
