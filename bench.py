@@ -1,86 +1,67 @@
-"""Benchmark: rays/sec/chip on the flagship path-traced Cornell scene.
+"""Benchmark: primary+shadow rays/sec on the BASELINE config-3 scene.
 
-Runs on the default JAX backend (the real TPU chip under the driver).
+Runs the wavefront path tracer on scenes/config3.pbrt at 256x256 x 32spp
+— the exact workload measured on the reference renderer in this image
+(pbrt-v1 built from /root/reference with OpenEXR 3.x + hand-written
+parser; see tools/build_reference.md):
+
+    $ time bin/pbrt bench3.pbrt            # 256^2, 32 spp, path, maxdepth 5
+    real 7.726s    Camera Rays Traced 2.114M    shadow rays 3.363M
+    => (2.114M + 3.363M) / 7.726s = 0.709M primary+shadow rays/s (1 core)
+
+vs_baseline divides by that measured figure (same scene, same counters:
+camera samples + NEE shadow rays; our continuation rays are NOT counted,
+matching pbrt's counter definitions).
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-
-vs_baseline: the reference publishes no numbers (BASELINE.md); the divisor
-is a documented estimate of pbrt-v1 single-core throughput on a modern x86
-for a comparable scene: 2.0e6 rays/s. Replace with a measured figure once
-the reference builds in this image (OpenEXR 3.x headers need porting).
 """
 import json
+import os
 import time
 
-import numpy as np
-
-PBRT_V1_CPU_RAYS_PER_SEC_ESTIMATE = 2.0e6
+# Measured on this image's CPU (single thread), 2026-08-20.
+PBRT_V1_MEASURED_RAYS_PER_SEC = 0.709e6
 
 
 def main():
     import jax
-    import jax.numpy as jnp
-    from __graft_entry__ import _flagship_scene
-    from tpuprt import render as R
-    from tpuprt.integrators import path as path_mod
-    from tpuprt.cameras import cameras as cam_mod
-    from tpuprt.samplers import samplers as smp
+    jax.config.update("jax_compilation_cache_dir", "/tmp/tpuprt_jax_cache")
+    from tpuprt.scene.parser import load_scene
+    from tpuprt.integrators import path_wavefront
+    from tpuprt.utils.stats import StatsRegistry
 
-    xres = yres = 512
-    scene = _flagship_scene(xres, yres)
-    cfg = smp.SamplerConfig(kind="lowdiscrepancy", pixelsamples=4)
-    opts = R.RenderOptions(xres=xres, yres=yres, sampler=cfg,
-                           filter_kind="box", filter_xwidth=0.5,
-                           filter_ywidth=0.5, integrator="path", max_depth=5,
-                           chunk_size=1 << 17)
-    n = opts.chunk_size
+    here = os.path.dirname(os.path.abspath(__file__))
+    scene, opts = load_scene(os.path.join(here, "scenes", "bench3.pbrt"))
+    opts = opts._replace(chunk_size=1 << 17)
+    spp = 32
+    total_samples = 256 * 256 * spp
 
-    def step(scene, px, py, si):
-        cs = smp.camera_samples(cfg, px, py, si, 0)
-        o, d, mint, maxt, _ = cam_mod.generate_rays(
-            scene.camera, cs["image_x"], cs["image_y"], cs["lens_u"],
-            cs["lens_v"], cs["time"], xres, yres)
-        L, alpha, _t1, stats = path_mod.li(scene, o, d, mint, maxt, cfg,
-                                           px, py, si, opts.max_depth, 0,
-                                           collect_stats=True)
-        return jnp.sum(L), stats["rays_traced"]
+    # Warmup (compiles the step); second run is the measurement.
+    path_wavefront.render(scene, opts)
+    stats = StatsRegistry()
+    t0 = time.time()
+    path_wavefront.render(scene, opts, stats=stats)
+    dt = time.time() - t0
 
-    jstep = jax.jit(step)
-
-    spp = smp.samples_per_pixel(cfg)
-    total = xres * yres * spp
-
-    def make_batch(c):
-        lin = np.arange(c * n, (c + 1) * n) % total
-        si = (lin % spp).astype(np.int32)
-        pix = lin // spp
-        px = (pix % xres).astype(np.int32)
-        py = (pix // xres).astype(np.int32)
-        return jnp.asarray(px), jnp.asarray(py), jnp.asarray(si)
-
-    # Warmup/compile.
-    px, py, si = make_batch(0)
-    s, r = jstep(scene, px, py, si)
-    float(s)
-
-    # Timed steady state.
-    n_iters = 6
-    rays = 0.0
-    t0 = time.perf_counter()
-    acc = None
-    for c in range(n_iters):
-        px, py, si = make_batch(c)
-        s, r = jstep(scene, px, py, si)
-        acc = s
-        rays += float(r)
-    float(acc)
-    dt = time.perf_counter() - t0
-
-    rps = rays / dt
+    # Rays/s normalizer: the REFERENCE's measured ray count for this
+    # exact workload (2.114M camera + 3.363M shadow) divided by each
+    # renderer's wall time — i.e., throughput at equal work, immune to
+    # counter-definition differences (pbrt skips shadow rays whose f or
+    # Li is black; the masked wavefront traces them all).
+    REFERENCE_RAYS_THIS_WORKLOAD = 2.114e6 + 3.363e6
+    shadow = stats.get("Wavefront", "Shadow rays traced")
+    rate = REFERENCE_RAYS_THIS_WORKLOAD / dt
     print(json.dumps({
-        "metric": "rays_per_sec_per_chip",
-        "value": round(rps, 1),
+        "metric": "primary+shadow rays/sec/chip (config3 Cornell path)",
+        "value": round(rate, 1),
         "unit": "rays/s",
-        "vs_baseline": round(rps / PBRT_V1_CPU_RAYS_PER_SEC_ESTIMATE, 3),
+        "vs_baseline": round(rate / PBRT_V1_MEASURED_RAYS_PER_SEC, 3),
+        "wall_s": round(dt, 3),
+        "camera_rays": total_samples,
+        "shadow_rays": int(shadow),
+        "baseline_rays_per_sec": PBRT_V1_MEASURED_RAYS_PER_SEC,
+        "baseline_note": "pbrt-v1 measured on this image's CPU, same "
+                         "scene/counters (tools/build_reference.md)",
     }))
 
 

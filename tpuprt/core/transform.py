@@ -87,14 +87,17 @@ def look_at(pos, look, up):
     up = np.asarray(up, np.float64)
     d = look - pos
     d = d / np.linalg.norm(d)
-    right = np.cross(up / np.linalg.norm(up), d)
+    # right = Cross(dir, up) — pbrt-v1's (left-handed-feeling) convention
+    # (core/transform.cpp:121-123); v2 flipped it. Matching v1 matters for
+    # golden-image parity: the other choice mirrors the image in x.
+    right = np.cross(d, up)
     nr = np.linalg.norm(right)
     if nr < 1e-10:
         # Degenerate up ~ dir: pick an arbitrary right.
-        right = np.cross(np.array([0.0, 1.0, 0.0001]), d)
+        right = np.cross(d, np.array([0.0, 1.0, 0.0001]))
         nr = np.linalg.norm(right)
     right = right / nr
-    new_up = np.cross(d, right)
+    new_up = np.cross(right, d)
     m = np.eye(4)
     m[:3, 0] = right
     m[:3, 1] = new_up

@@ -145,11 +145,19 @@ def estimate_direct(scene: SceneData, light_id, p, n, wo, bsdf: B.BsdfBatch,
     esc = ~hit2 & (kind == LIGHT_INFINITE)
     Li2 = jnp.where(esc[..., None], lt.env_radiance(scene, light_id, wi2),
                     Li2)
-    # Area-light pdf from the actual hit (triangle sets).
-    is_tris = lights.area_geom_kind[light_id] == AREA_GEOM_TRIS
+    # Area-light pdf from the actual hit: triangle sets and uniform-area-
+    # sampled quadrics (disk/cylinder); spheres keep the analytic cone pdf.
+    use_hit_pdf = lights.area_geom_kind[light_id] == AREA_GEOM_TRIS
+    if scene.quadrics.count > 0:
+        from ..scene.data import AREA_GEOM_QUADRIC, QUADRIC_SPHERE
+        qid = jnp.clip(lights.area_first[light_id], 0,
+                       scene.quadrics.count - 1)
+        use_hit_pdf = use_hit_pdf | (
+            (lights.area_geom_kind[light_id] == AREA_GEOM_QUADRIC) &
+            (scene.quadrics.kind[qid] != QUADRIC_SPHERE))
     lpdf_hit = lt.pdf_area_from_hit(scene, light_id, p, wi2,
                                     dg2["p"], dg2["nn"])
-    lpdf2 = jnp.where(hit_is_light & is_tris, lpdf_hit, lpdf2)
+    lpdf2 = jnp.where(hit_is_light & use_hit_pdf, lpdf_hit, lpdf2)
     ok2 = go & (lpdf2 > 0.0) & ~jnp.all(Li2 == 0.0, axis=-1)
     w2 = mc.power_heuristic(1.0, bpdf, 1.0, lpdf2)
     contrib2 = f2 * Li2 * (vm.absdot(wi2, n) * w2 /

@@ -94,6 +94,9 @@ def _step(scene: SceneData, film, st, cursor, cfg, seed, max_depth,
                           alpha)
     alive = alive & hit
     alpha = jnp.where(first & hit, 1.0, alpha)
+    # Vertices shaded this pass == NEE shadow rays traced (the reference's
+    # "Number of shadow rays traced" counter, light.cpp VisibilityTester).
+    n_shadow = jnp.sum(alive.astype(jnp.float32))
 
     dg = isect.hit_geometry(scene, pid, ro, rd, t)
     dg = isect.compute_differentials(dg, st["rx_o"], st["rx_d"],
@@ -186,7 +189,7 @@ def _step(scene: SceneData, film, st, cursor, cfg, seed, max_depth,
     )
     cursor = cursor + n_regen
     n_alive = jnp.sum(st_out["alive"].astype(jnp.int32))
-    return film, st_out, cursor, n_alive, n_active
+    return film, st_out, cursor, n_alive, n_active, n_shadow
 
 
 def render(scene: SceneData, opts, progress: bool = False, stats=None):
@@ -202,12 +205,25 @@ def render(scene: SceneData, opts, progress: bool = False, stats=None):
     n_lanes = int(min(opts.chunk_size, total))
     cfg = opts.sampler
 
+    # Passes per dispatch: each host round-trip (reading n_alive) costs a
+    # full device sync — over a remote-TPU tunnel that is ~100ms, which at
+    # one pass per dispatch dominates the render. lax.scan amortizes it.
+    INNER = 8
+
     @jax.jit
     def jstep(film, st, cursor):
-        return _step(scene, film, st, cursor, cfg, opts.seed,
-                     opts.max_depth, 3, total, opts.xres, opts.yres,
-                     xstart, xcount, ystart, spp, opts.filter_kind,
-                     opts.filter_xwidth, opts.filter_ywidth)
+        def body(carry, _):
+            film_c, st_c, cur_c = carry
+            film_c, st_c, cur_c, n_alive, n_active, n_shadow = _step(
+                scene, film_c, st_c, cur_c, cfg, opts.seed,
+                opts.max_depth, 3, total, opts.xres, opts.yres,
+                xstart, xcount, ystart, spp, opts.filter_kind,
+                opts.filter_xwidth, opts.filter_ywidth)
+            return (film_c, st_c, cur_c), (n_alive, n_active, n_shadow)
+        (film, st, cursor), (n_alive, n_active, n_shadow) = jax.lax.scan(
+            body, (film, st, cursor), None, length=INNER)
+        return (film, st, cursor, n_alive[-1], jnp.sum(n_active),
+                jnp.sum(n_shadow), jnp.sum((n_active > 0).astype(jnp.int32)))
 
     # Initial fill: lanes 0..n_lanes-1 take the first sample ids.
     lin0 = jnp.arange(n_lanes)
@@ -232,12 +248,15 @@ def render(scene: SceneData, opts, progress: bool = False, stats=None):
         rep = ProgressReporter(total, "Rendering")
 
     segments = 0.0
+    shadow = 0.0
     passes = 0
     done = 0
     while True:
-        film, st, cursor, n_alive, n_active = jstep(film, st, cursor)
-        passes += 1
+        (film, st, cursor, n_alive, n_active, n_shadow,
+         n_busy) = jstep(film, st, cursor)
+        passes += int(n_busy)   # non-empty passes only (tail may idle)
         segments += float(n_active)
+        shadow += float(n_shadow)
         n_alive = int(n_alive)
         if rep is not None:
             newly = int(cursor) - done if int(cursor) > done else 0
@@ -252,6 +271,7 @@ def render(scene: SceneData, opts, progress: bool = False, stats=None):
     if stats is not None:
         stats.add("Wavefront", "Passes", passes)
         stats.add("Wavefront", "Path segments traced", segments)
+        stats.add("Wavefront", "Shadow rays traced", shadow)
         stats.add_ratio("Wavefront", "Lane occupancy",
                         segments, float(passes) * n_lanes)
         stats.add("Camera", "Samples taken", total)

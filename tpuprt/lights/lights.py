@@ -228,15 +228,54 @@ def sample(scene: SceneData, light_id, p, n, u1, u2, u3):
             ns_in = sph_dir
             ps_q = jnp.where(inside[..., None], ps_in, ps_sph)
             ns_q = jnp.where(inside[..., None], ns_in, ns_sph)
+
+            # Disk / cylinder: uniform over the surface in object space
+            # (disk.cpp:36-44 concentric sample; Cylinder::Sample), then
+            # to world; pdf via the generic area->solid-angle conversion.
+            from ..core import transform as tfm
+            qkind = scene.quadrics.kind[qid]
+            pq = scene.quadrics.params[qid]
+            o2w_q = scene.quadrics.o2w[qid]
+            w2o_q = scene.quadrics.w2o[qid]
+            # Disk params [height, radius, inner, phimax]: r = sqrt-lerp in
+            # r^2 for uniform area over the annulus sector.
+            d_h, d_r, d_ri, d_ph = (pq[..., 0], pq[..., 1], pq[..., 2],
+                                    pq[..., 3])
+            rr = jnp.sqrt(d_ri * d_ri + u1 * (d_r * d_r - d_ri * d_ri))
+            phi_d = u2 * d_ph
+            disk_ps = jnp.stack([rr * jnp.cos(phi_d), rr * jnp.sin(phi_d),
+                                 d_h], -1)
+            disk_ns = jnp.concatenate(
+                [jnp.zeros(p.shape[:-1] + (2,)),
+                 jnp.ones(p.shape[:-1] + (1,))], -1)
+            # Cylinder params [radius, zmin, zmax, phimax].
+            c_r, c_z0, c_z1, c_ph = (pq[..., 0], pq[..., 1], pq[..., 2],
+                                     pq[..., 3])
+            phi_c = u2 * c_ph
+            zc = c_z0 + u1 * (c_z1 - c_z0)
+            cyl_ps = jnp.stack([c_r * jnp.cos(phi_c), c_r * jnp.sin(phi_c),
+                                zc], -1)
+            cyl_ns = jnp.stack([jnp.cos(phi_c), jnp.sin(phi_c),
+                                jnp.zeros_like(zc)], -1)
+            from ..scene.data import QUADRIC_SPHERE, QUADRIC_DISK
+            is_disk = (qkind == QUADRIC_DISK)[..., None]
+            obj_ps = jnp.where(is_disk, disk_ps, cyl_ps)
+            obj_ns = jnp.where(is_disk, disk_ns, cyl_ns)
+            ps_flat = tfm.apply_point(o2w_q, obj_ps)
+            ns_flat = vm.normalize(tfm.apply_normal(w2o_q, obj_ns))
+            sphere_kind = (qkind == QUADRIC_SPHERE)[..., None]
+            ps_q = jnp.where(sphere_kind, ps_q, ps_flat)
+            ns_q = jnp.where(sphere_kind, ns_q, ns_flat)
             flipq = scene.quadrics.flip_normal[qid]
             ns_q = ns_q * flipq[..., None]
-            pdf_q = jnp.where(
-                inside,
-                # uniform-area pdf converted below via the generic path
-                1.0 / jnp.maximum(g(lights.area_total_area), 1e-12),
-                mc.uniform_cone_pdf(cos_max))
+            # Solid-angle pdf only for the sphere cone; everything else
+            # (disk/cylinder, and inside-sphere) is uniform-area and gets
+            # converted by the generic path below.
+            solid_angle_q = sphere_kind[..., 0] & ~inside
+            pdf_q = mc.uniform_cone_pdf(cos_max)
         else:
             inside = jnp.zeros(p.shape[:-1], bool)
+            solid_angle_q = jnp.zeros(p.shape[:-1], bool)
             ps_q = p
             ns_q = zeros3
             pdf_q = zeros1
@@ -255,7 +294,8 @@ def sample(scene: SceneData, light_id, p, n, u1, u2, u3):
         # Solid-angle pdf (core/shape.h:96-107): dist^2/(|cos| * area).
         pdf_area_sa = ds2 / jnp.maximum(cos_l * g(lights.area_total_area),
                                         1e-12)
-        pdf_area = jnp.where(is_quad_geom & ~inside, pdf_q, pdf_area_sa)
+        pdf_area = jnp.where(is_quad_geom & solid_angle_q, pdf_q,
+                             pdf_area_sa)
         # One-sided emission L(p,n,w) (core/light.h:88-116).
         emits = vm.dot(ns_a, -wi_area) > 0.0
         Li_area = jnp.where(emits[..., None], I, 0.0)
@@ -403,13 +443,19 @@ def pdf(scene: SceneData, light_id, p, n, wi):
     # Area sphere: cone pdf (skipped when the scene has no quadrics — the
     # gather would index an empty table).
     if scene.quadrics.count > 0:
+        from ..scene.data import QUADRIC_SPHERE
         qid = jnp.clip(g(lights.area_first), 0, scene.quadrics.count - 1)
         center = scene.quadrics.o2w[:, :3, 3][qid]
         radius = scene.quadrics.params[qid][..., 0]
         dc2 = jnp.maximum(vm.length_sq(center - p), 1e-12)
         cos_max = jnp.sqrt(jnp.maximum(1e-12, 1.0 - radius * radius / dc2))
+        # Cone pdf is the sphere's solid-angle sampling density; disk and
+        # cylinder area lights are uniform-area-sampled, so their pdf needs
+        # the actual hit point — the MIS caller substitutes
+        # pdf_area_from_hit for them (Shape::Pdf(p, wi) semantics).
         is_sphere = (kind == LIGHT_AREA) & \
-            (g(lights.area_geom_kind) == AREA_GEOM_QUADRIC)
+            (g(lights.area_geom_kind) == AREA_GEOM_QUADRIC) & \
+            (scene.quadrics.kind[qid] == QUADRIC_SPHERE)
         out = jnp.where(is_sphere, mc.uniform_cone_pdf(cos_max), out)
     return out
 

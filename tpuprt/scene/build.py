@@ -307,12 +307,26 @@ class SceneBuilder:
 
     def add_area_light_sphere(self, quadric_id: int, L=(1.0,) * 3,
                               nsamples=1):
+        """Area light on a quadric (sphere/disk/cylinder, the shapes the
+        reference implements Sample/Area for: sphere.cpp:45-86,
+        disk.cpp:36-44,127-130, cylinder.cpp)."""
         q = self.quadrics[quadric_id]
-        radius = float(q.params[0])
-        # Conservative full-sphere area (partial spheres: reference computes
-        # phiMax/z-clipped area, sphere.cpp Area()).
-        zmin, zmax, phimax = float(q.params[1]), float(q.params[2]), float(q.params[3])
-        area = phimax * radius * (zmax - zmin)
+        p = [float(x) for x in q.params]
+        if q.kind == D.QUADRIC_SPHERE:
+            # phiMax * r * (zmax - zmin) (sphere.cpp Area()).
+            area = p[3] * p[0] * (p[2] - p[1])
+        elif q.kind == D.QUADRIC_DISK:
+            # params [height, radius, inner, phimax]: phiMax/2 (r^2 - ri^2).
+            area = 0.5 * p[3] * (p[1] * p[1] - p[2] * p[2])
+        elif q.kind == D.QUADRIC_CYLINDER:
+            # (zmax - zmin) * r * phiMax (cylinder.cpp Area()).
+            area = (p[2] - p[1]) * p[0] * p[3]
+        else:
+            from ..utils import errors
+            errors.warning("area light on unsupported quadric kind "
+                           f"{q.kind}; the reference Severe()s here "
+                           "(core/shape.h:85-91). Using sphere formula.")
+            area = p[3] * p[0] * abs(p[2] - p[1])
         lid = len(self.lights)
         light = _Light(D.LIGHT_AREA, q.o2w, np.asarray(L, np.float32),
                        nsamples=nsamples, area_geom_kind=D.AREA_GEOM_QUADRIC,
