@@ -36,11 +36,62 @@ def _use_pallas_mt(nt: int) -> bool:
     return nt >= PALLAS_MIN_TRIS and jax.default_backend() == "tpu"
 
 
-def _brute_force(scene: SceneData, o, d, mint, maxt):
+# Prim-count ceiling for the unrolled per-prim brute force below. Scenes
+# above the accel auto-threshold (64) build a grid/kd-tree anyway; this only
+# needs to cover the no-accelerator small-scene regime.
+BRUTE_UNROLL_MAX = 128
+
+
+def _brute_force_unrolled(scene: SceneData, o, d, mint, maxt,
+                          any_hit=False):
+    """Per-prim unrolled nearest-hit (or any-hit) over all prims.
+
+    The batched [N, nprims] formulation pads its minor axis to a 128-lane
+    TPU tile (a 10x memory blowup for a 13-prim scene) and funnels through
+    argmin + take_along_axis gathers; unrolling the (static, small) prim
+    loop keeps every array [N]-shaped with a running min — pure VPU code.
+    """
+    best_t = jnp.full(o.shape[:-1], _BIG)
+    best_id = jnp.full(o.shape[:-1], -1, jnp.int32)
+    hit = jnp.zeros(o.shape[:-1], bool)
+    nq = scene.quadrics.count
+    for i, (kind, phi_full, z_full) in enumerate(
+            scene.quadrics.static_rows or ()):
+        ti, vi = quadrics.intersect_one(scene.quadrics, i, kind, phi_full,
+                                        z_full, o, d, mint, maxt)
+        if any_hit:
+            hit = hit | vi
+        else:
+            upd = vi & (ti < best_t)
+            best_t = jnp.where(upd, ti, best_t)
+            best_id = jnp.where(upd, jnp.int32(i), best_id)
+    tri = scene.triangles
+    for i in range(tri.count):
+        p0 = tri.verts[tri.idx[i, 0]]
+        p1 = tri.verts[tri.idx[i, 1]]
+        p2 = tri.verts[tri.idx[i, 2]]
+        ti, _, _, vi = triangle.intersect_pairs(p0, p1, p2, o, d, mint, maxt)
+        if any_hit:
+            hit = hit | vi
+        else:
+            upd = vi & (ti < best_t)
+            best_t = jnp.where(upd, ti, best_t)
+            best_id = jnp.where(upd, jnp.int32(nq + i), best_id)
+    if any_hit:
+        return jnp.where(hit, 0.0, _BIG), jnp.where(hit, 0, -1), hit
+    return best_t, best_id, best_id >= 0
+
+
+def _brute_force(scene: SceneData, o, d, mint, maxt, any_hit=False):
     """Nearest hit over all prims. Returns (t[N], prim_id[N], hit[N])."""
     n = o.shape[0]
     nq = scene.quadrics.count
     nt = scene.triangles.count
+    if 0 < nq + nt <= BRUTE_UNROLL_MAX and \
+            scene.quadrics.static_rows is not None and \
+            not _use_pallas_mt(nt):
+        return _brute_force_unrolled(scene, o, d, mint, maxt,
+                                     any_hit=any_hit)
     best_t = jnp.full((n,), _BIG)
     best_id = jnp.full((n,), -1, jnp.int32)
     if nq:
@@ -94,7 +145,9 @@ def occluded(scene: SceneData, o, d, mint, maxt):
             _, _, hit = kd_mod.intersect(scene, o, d, mint, maxt,
                                          any_hit=True)
             return hit
-    _, _, hit = intersect_ids(scene, o, d, mint, maxt)
+        _, _, hit = intersect_ids(scene, o, d, mint, maxt)
+        return hit
+    _, _, hit = _brute_force(scene, o, d, mint, maxt, any_hit=True)
     return hit
 
 

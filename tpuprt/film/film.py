@@ -3,46 +3,73 @@
 TPU-native replacement for ImageFilm (/root/reference/film/image.cpp).
 AddSample's filter-table splat over the support window
 (film/image.cpp:103-147) becomes a fixed-window scatter-add: each sample
-contributes to a static (2*ceil(w)) x (2*ceil(w)) pixel neighborhood with
-filter weights evaluated exactly (no 16x16 table quantization — we can
-afford the real filter on the VPU). WriteImage's XYZ->RGB + weight
-normalization (film/image.cpp:157-212) becomes `develop`.
+contributes to a static window of pixel positions with filter weights
+evaluated exactly (no 16x16 table quantization — we can afford the real
+filter on the VPU). WriteImage's XYZ->RGB + weight normalization
+(film/image.cpp:157-212) becomes `develop`.
+
+Performance: the accumulator is ONE f32[yres, xres, 5] buffer
+(R,G,B, alpha, weightSum) so each splat window position is a single
+scatter-add of a [N,5] payload into the flattened image — TPU scatter has
+a large fixed per-op cost, and the previous 3-buffers x (2*ceil(w)+1)^2
+layout (27 scatter ops for a box filter) dominated the whole wavefront
+pass. The window is also the tight floor(2w)+1 bound on pixels a filter
+of width w can touch, so the default box filter does 4 scatters, not 27.
 
 The film accumulator is a pytree so it shards over devices; merging shards
 is a psum (the reference's manual exrassemble flow, automated).
 """
 from __future__ import annotations
 
+import math
+
 import jax.numpy as jnp
 
-from ..core import spectrum as spec
 from ..core.pytree import pytree_dataclass, static
 from ..filters import filters as ftr
 
 
 @pytree_dataclass
 class Film:
-    pixels: jnp.ndarray      # f32[yres, xres, 3] weighted radiance (XYZ wts
-                             # applied at develop; we store RGB like ref L)
-    alpha: jnp.ndarray       # f32[yres, xres]
-    weight_sum: jnp.ndarray  # f32[yres, xres]
+    # f32[yres, xres, 5]: weighted R,G,B, weighted alpha, weight sum.
+    data: jnp.ndarray
     xres: int = static(default=0)
     yres: int = static(default=0)
     # Crop window in NDC [x0,x1,y0,y1] (film/image.cpp:79-85).
     crop: tuple = static(default=(0.0, 1.0, 0.0, 1.0))
 
+    # Legacy views (checkpoints, shard psum helpers, tests).
+    @property
+    def pixels(self):
+        return self.data[..., 0:3]
+
+    @property
+    def alpha(self):
+        return self.data[..., 3]
+
+    @property
+    def weight_sum(self):
+        return self.data[..., 4]
+
 
 def make_film(xres, yres, crop=(0.0, 1.0, 0.0, 1.0)) -> Film:
-    return Film(pixels=jnp.zeros((yres, xres, 3), jnp.float32),
-                alpha=jnp.zeros((yres, xres), jnp.float32),
-                weight_sum=jnp.zeros((yres, xres), jnp.float32),
+    return Film(data=jnp.zeros((yres, xres, 5), jnp.float32),
                 xres=xres, yres=yres, crop=crop)
+
+
+def from_planes(pixels, alpha, weight_sum, xres, yres,
+                crop=(0.0, 1.0, 0.0, 1.0)) -> Film:
+    """Assemble a Film from separate (pixels, alpha, weight) planes."""
+    data = jnp.concatenate(
+        [jnp.asarray(pixels, jnp.float32),
+         jnp.asarray(alpha, jnp.float32)[..., None],
+         jnp.asarray(weight_sum, jnp.float32)[..., None]], axis=-1)
+    return Film(data=data, xres=xres, yres=yres, crop=crop)
 
 
 def pixel_extent(film: Film):
     """Crop-window pixel bounds (xstart, xcount, ystart, ycount)."""
     x0, x1, y0, y1 = film.crop
-    import math
     xstart = math.ceil(film.xres * x0)
     xcount = max(1, math.ceil(film.xres * x1) - xstart)
     ystart = math.ceil(film.yres * y0)
@@ -55,20 +82,37 @@ def add_samples(film: Film, image_x, image_y, L, alpha,
                 **filter_kw) -> Film:
     """Filtered splat of a sample batch (film/image.cpp:103-147 semantics:
     discrete pixel coords are continuous-0.5)."""
-    import math
     dx = image_x - 0.5
     dy = image_y - 0.5
+
+    H, W = film.data.shape[0], film.data.shape[1]
+    if filter_kind == ftr.FILTER_BOX and xwidth <= 0.5 and ywidth <= 0.5:
+        # A half-pixel box touches exactly the sample's own pixel
+        # floor(image_x) (two pixels only when image_x is exactly integral
+        # — measure zero, and the weight normalization makes the reference's
+        # double-splat of that case a no-op on the developed image). One
+        # scatter-add instead of four.
+        px = jnp.floor(image_x).astype(jnp.int32)
+        py = jnp.floor(image_y).astype(jnp.int32)
+        inside = (px >= 0) & (px < W) & (py >= 0) & (py < H)
+        w = jnp.where(inside, 1.0, 0.0)
+        idx = jnp.clip(py, 0, H - 1) * W + jnp.clip(px, 0, W - 1)
+        payload = jnp.concatenate(
+            [w[..., None] * L, (w * alpha)[..., None], w[..., None]],
+            axis=-1)
+        flat = film.data.reshape(H * W, 5).at[idx].add(payload)
+        return Film(data=flat.reshape(H, W, 5), xres=film.xres,
+                    yres=film.yres, crop=film.crop)
+
     x0 = jnp.ceil(dx - xwidth).astype(jnp.int32)
     y0 = jnp.ceil(dy - ywidth).astype(jnp.int32)
-    nx = int(2 * math.ceil(xwidth)) + 1
-    ny = int(2 * math.ceil(ywidth)) + 1
+    # Tight pixel-count bound: integers in [dx-w, dx+w] number at most
+    # floor(2w)+1 (2 for the default half-pixel box, 5 for width-2 filters).
+    nx = int(math.floor(2.0 * xwidth)) + 1
+    ny = int(math.floor(2.0 * ywidth)) + 1
 
-    pix = film.pixels
-    alph = film.alpha
-    wsum = film.weight_sum
-    H, W = pix.shape[0], pix.shape[1]
+    flat = film.data.reshape(H * W, 5)
 
-    # Static window unroll: nx*ny scatter-adds over the whole batch.
     for j in range(ny):
         for i in range(nx):
             px = x0 + i
@@ -79,12 +123,12 @@ def add_samples(film: Film, image_x, image_y, L, alpha,
             inside = (jnp.abs(fx) <= xwidth) & (jnp.abs(fy) <= ywidth) & \
                 (px >= 0) & (px < W) & (py >= 0) & (py < H)
             w = jnp.where(inside, w, 0.0)
-            pxc = jnp.clip(px, 0, W - 1)
-            pyc = jnp.clip(py, 0, H - 1)
-            pix = pix.at[pyc, pxc].add(w[..., None] * L)
-            alph = alph.at[pyc, pxc].add(w * alpha)
-            wsum = wsum.at[pyc, pxc].add(w)
-    return Film(pixels=pix, alpha=alph, weight_sum=wsum, xres=film.xres,
+            idx = jnp.clip(py, 0, H - 1) * W + jnp.clip(px, 0, W - 1)
+            payload = jnp.concatenate(
+                [w[..., None] * L, (w * alpha)[..., None], w[..., None]],
+                axis=-1)
+            flat = flat.at[idx].add(payload)
+    return Film(data=flat.reshape(H, W, 5), xres=film.xres,
                 yres=film.yres, crop=film.crop)
 
 
@@ -92,9 +136,9 @@ def develop(film: Film, premultiply_alpha: bool = True):
     """WriteImage normalization (film/image.cpp:157-212): weight divide (the
     reference converts through XYZ and back with the same matrices — a
     no-op for in-gamut RGB, so we divide directly). Returns (rgb, alpha)."""
-    w = jnp.maximum(film.weight_sum, 1e-10)[..., None]
-    rgb = film.pixels / w
-    alpha = jnp.clip(film.alpha / w[..., 0], 0.0, 1.0)
+    w = jnp.maximum(film.data[..., 4], 1e-10)[..., None]
+    rgb = film.data[..., 0:3] / w
+    alpha = jnp.clip(film.data[..., 3:4] / w, 0.0, 1.0)[..., 0]
     if premultiply_alpha:
         pass  # stored unpremultiplied; EXR writer applies if requested
     return rgb, alpha
@@ -104,7 +148,6 @@ def merge(films):
     """Sum-merge accumulator shards (tools/exrassemble.cpp, automated)."""
     out = films[0]
     for f in films[1:]:
-        out = Film(pixels=out.pixels + f.pixels, alpha=out.alpha + f.alpha,
-                   weight_sum=out.weight_sum + f.weight_sum,
+        out = Film(data=out.data + f.data,
                    xres=out.xres, yres=out.yres, crop=out.crop)
     return out

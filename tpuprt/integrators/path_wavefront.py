@@ -28,6 +28,7 @@ time, which the regenerating pool does not keep).
 from __future__ import annotations
 
 import math
+from functools import partial
 
 import numpy as np
 import jax
@@ -192,6 +193,101 @@ def _step(scene: SceneData, film, st, cursor, cfg, seed, max_depth,
     return film, st_out, cursor, n_alive, n_active, n_shadow
 
 
+# Passes per jit dispatch: each host round-trip (reading n_alive) costs a
+# full device sync — over a remote-TPU tunnel that is ~100ms, which at one
+# pass per dispatch dominates the render. lax.scan amortizes it.
+INNER = 8
+
+
+# Module-level jits (NOT closures rebuilt per render call): re-tracing the
+# INNER-pass scan body costs seconds of host time per call, which previously
+# doubled the wall time of a warm benchmark render.
+@partial(jax.jit, donate_argnums=(1, 2, 3),
+         static_argnames=("cfg", "seed", "max_depth", "total", "xres",
+                          "yres", "xstart", "xcount", "ystart", "spp",
+                          "filter_kind", "filter_xwidth", "filter_ywidth"))
+def _jstep(scene, film, st, cursor, *, cfg, seed, max_depth, total, xres,
+           yres, xstart, xcount, ystart, spp, filter_kind, filter_xwidth,
+           filter_ywidth):
+    def body(carry, _):
+        film_c, st_c, cur_c = carry
+        film_c, st_c, cur_c, n_alive, n_active, n_shadow = _step(
+            scene, film_c, st_c, cur_c, cfg, seed, max_depth, 3, total,
+            xres, yres, xstart, xcount, ystart, spp, filter_kind,
+            filter_xwidth, filter_ywidth)
+        return (film_c, st_c, cur_c), (n_alive, n_active, n_shadow)
+    (film, st, cursor), (n_alive, n_active, n_shadow) = jax.lax.scan(
+        body, (film, st, cursor), None, length=INNER)
+    return (film, st, cursor, n_alive[-1], jnp.sum(n_active),
+            jnp.sum(n_shadow), jnp.sum((n_active > 0).astype(jnp.int32)))
+
+
+@partial(jax.jit, donate_argnums=(1, 2, 3),
+         static_argnames=("cfg", "seed", "max_depth", "total", "xres",
+                          "yres", "xstart", "xcount", "ystart", "spp",
+                          "filter_kind", "filter_xwidth", "filter_ywidth",
+                          "pass_limit"))
+def _jrun(scene, film, st, cursor, *, cfg, seed, max_depth, total, xres,
+          yres, xstart, xcount, ystart, spp, filter_kind, filter_xwidth,
+          filter_ywidth, pass_limit):
+    """The entire wavefront drive as ONE device-side while_loop dispatch.
+
+    The host-chunked driver costs a device->host scalar read per INNER
+    passes to learn n_alive; over a remote-TPU tunnel those roundtrips were
+    ~2x the actual render time. Here the termination test runs on device
+    and the host reads back only the final (film, stats). pass_limit bounds
+    the loop against bugs (it is loose: every sample terminates within
+    max_depth+1 passes of its regeneration).
+    """
+    stats0 = jnp.zeros((3,), jnp.float64 if jax.config.jax_enable_x64
+                       else jnp.float32)
+
+    def cond(c):
+        _film, st_c, _cur, _stats, npass = c
+        return jnp.any(st_c["alive"]) & (npass < pass_limit)
+
+    def body(c):
+        film_c, st_c, cur_c, stats_c, npass = c
+        film_c, st_c, cur_c, _n_alive, n_active, n_shadow = _step(
+            scene, film_c, st_c, cur_c, cfg, seed, max_depth, 3, total,
+            xres, yres, xstart, xcount, ystart, spp, filter_kind,
+            filter_xwidth, filter_ywidth)
+        stats_c = stats_c + jnp.stack(
+            [n_active, n_shadow, (n_active > 0).astype(n_active.dtype)])
+        return (film_c, st_c, cur_c, stats_c, npass + 1)
+
+    film, st, cursor, stats, npass = jax.lax.while_loop(
+        cond, body, (film, st, cursor, stats0, jnp.int32(0)))
+    return film, stats, npass
+
+
+@partial(jax.jit, static_argnames=("cfg", "seed", "n_lanes", "total",
+                                   "xres", "yres", "xstart", "xcount",
+                                   "ystart", "spp"))
+def _jinit(scene, *, cfg, seed, n_lanes, total, xres, yres, xstart, xcount,
+           ystart, spp):
+    """Initial fill: lanes 0..n_lanes-1 take the first sample ids. Jitted:
+    un-jitted this is ~50 individually-dispatched device ops, seconds of
+    pure launch latency over a remote-TPU tunnel."""
+    lin0 = jnp.arange(n_lanes)
+    valid0 = lin0 < total
+    fresh = _regen(scene, cfg, jnp.minimum(lin0, total - 1), seed,
+                   xres, yres, xstart, xcount, ystart, spp)
+    z3 = jnp.zeros((n_lanes, 3), jnp.float32)
+    return dict(alive=valid0, bounce=jnp.zeros(n_lanes, jnp.int32),
+                px=fresh["px"], py=fresh["py"], s_idx=fresh["s_idx"],
+                ix=fresh["ix"], iy=fresh["iy"],
+                o=fresh["o"], d=fresh["d"], mint=fresh["mint"],
+                maxt=fresh["maxt"], rx_o=fresh["rx_o"],
+                rx_d=fresh["rx_d"], ry_o=fresh["ry_o"],
+                ry_d=fresh["ry_d"], throughput=z3 + 1.0, L=z3,
+                alpha=jnp.zeros(n_lanes, jnp.float32),
+                specular=jnp.zeros(n_lanes, bool))
+
+
+_develop = jax.jit(film_mod.develop)
+
+
 def render(scene: SceneData, opts, progress: bool = False, stats=None):
     """Full-frame wavefront render (path integrator only). Returns
     (rgb, alpha) like render.render."""
@@ -205,67 +301,51 @@ def render(scene: SceneData, opts, progress: bool = False, stats=None):
     n_lanes = int(min(opts.chunk_size, total))
     cfg = opts.sampler
 
-    # Passes per dispatch: each host round-trip (reading n_alive) costs a
-    # full device sync — over a remote-TPU tunnel that is ~100ms, which at
-    # one pass per dispatch dominates the render. lax.scan amortizes it.
-    INNER = 8
+    step_kw = dict(cfg=cfg, seed=opts.seed, max_depth=opts.max_depth,
+                   total=total, xres=opts.xres, yres=opts.yres,
+                   xstart=xstart, xcount=xcount, ystart=ystart, spp=spp,
+                   filter_kind=opts.filter_kind,
+                   filter_xwidth=opts.filter_xwidth,
+                   filter_ywidth=opts.filter_ywidth)
 
-    @jax.jit
     def jstep(film, st, cursor):
-        def body(carry, _):
-            film_c, st_c, cur_c = carry
-            film_c, st_c, cur_c, n_alive, n_active, n_shadow = _step(
-                scene, film_c, st_c, cur_c, cfg, opts.seed,
-                opts.max_depth, 3, total, opts.xres, opts.yres,
-                xstart, xcount, ystart, spp, opts.filter_kind,
-                opts.filter_xwidth, opts.filter_ywidth)
-            return (film_c, st_c, cur_c), (n_alive, n_active, n_shadow)
-        (film, st, cursor), (n_alive, n_active, n_shadow) = jax.lax.scan(
-            body, (film, st, cursor), None, length=INNER)
-        return (film, st, cursor, n_alive[-1], jnp.sum(n_active),
-                jnp.sum(n_shadow), jnp.sum((n_active > 0).astype(jnp.int32)))
+        return _jstep(scene, film, st, cursor, **step_kw)
 
-    # Initial fill: lanes 0..n_lanes-1 take the first sample ids.
-    lin0 = jnp.arange(n_lanes)
-    valid0 = lin0 < total
-    fresh = _regen(scene, cfg, jnp.minimum(lin0, total - 1), opts.seed,
-                   opts.xres, opts.yres, xstart, xcount, ystart, spp)
-    z3 = jnp.zeros((n_lanes, 3), jnp.float32)
-    st = dict(alive=valid0, bounce=jnp.zeros(n_lanes, jnp.int32),
-              px=fresh["px"], py=fresh["py"], s_idx=fresh["s_idx"],
-              ix=fresh["ix"], iy=fresh["iy"],
-              o=fresh["o"], d=fresh["d"], mint=fresh["mint"],
-              maxt=fresh["maxt"], rx_o=fresh["rx_o"], rx_d=fresh["rx_d"],
-              ry_o=fresh["ry_o"], ry_d=fresh["ry_d"],
-              throughput=z3 + 1.0, L=z3,
-              alpha=jnp.zeros(n_lanes, jnp.float32),
-              specular=jnp.zeros(n_lanes, bool))
+    st = _jinit(scene, cfg=cfg, seed=opts.seed, n_lanes=n_lanes,
+                total=total, xres=opts.xres, yres=opts.yres, xstart=xstart,
+                xcount=xcount, ystart=ystart, spp=spp)
     cursor = jnp.asarray(n_lanes if total >= n_lanes else total, jnp.int32)
 
-    rep = None
-    if progress:
+    if not progress:
+        # Whole render in one dispatch; host reads back only final stats.
+        pass_limit = math.ceil(total * (opts.max_depth + 2) / n_lanes) + \
+            opts.max_depth + 8
+        film, dev_stats, _npass = _jrun(scene, film, st, cursor,
+                                        pass_limit=pass_limit, **step_kw)
+        dev_stats = np.asarray(dev_stats)
+        segments, shadow, passes = (float(dev_stats[0]),
+                                    float(dev_stats[1]),
+                                    int(dev_stats[2]))
+    else:
         from ..utils.progress import ProgressReporter
         rep = ProgressReporter(total, "Rendering")
-
-    segments = 0.0
-    shadow = 0.0
-    passes = 0
-    done = 0
-    while True:
-        (film, st, cursor, n_alive, n_active, n_shadow,
-         n_busy) = jstep(film, st, cursor)
-        passes += int(n_busy)   # non-empty passes only (tail may idle)
-        segments += float(n_active)
-        shadow += float(n_shadow)
-        n_alive = int(n_alive)
-        if rep is not None:
+        segments = 0.0
+        shadow = 0.0
+        passes = 0
+        done = 0
+        while True:
+            (film, st, cursor, n_alive, n_active, n_shadow,
+             n_busy) = jstep(film, st, cursor)
+            passes += int(n_busy)   # non-empty passes only (tail may idle)
+            segments += float(n_active)
+            shadow += float(n_shadow)
+            n_alive = int(n_alive)
             newly = int(cursor) - done if int(cursor) > done else 0
             done = int(cursor)
             if newly:
                 rep.update(newly)
-        if n_alive == 0:
-            break
-    if rep is not None:
+            if n_alive == 0:
+                break
         rep.done()
 
     if stats is not None:
@@ -276,5 +356,5 @@ def render(scene: SceneData, opts, progress: bool = False, stats=None):
                         segments, float(passes) * n_lanes)
         stats.add("Camera", "Samples taken", total)
 
-    rgb, alpha = film_mod.develop(film)
+    rgb, alpha = _develop(film)
     return np.asarray(rgb), np.asarray(alpha)

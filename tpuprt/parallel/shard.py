@@ -36,19 +36,15 @@ def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
     return Mesh(np.array(devs[:n]), (axis,))
 
 
-def _shard_body(scene, px, py, s_idx, valid, opts: R.RenderOptions):
-    """Per-device render of a sample slice -> local film accumulators."""
-    film = film_mod.make_film(opts.xres, opts.yres, opts.crop)
-    film = R.render_chunk(scene, opts, film, px, py, s_idx, valid)
-    return film.pixels, film.alpha, film.weight_sum
-
-
 def render_sharded(scene: SceneData, opts: R.RenderOptions,
                    mesh: Mesh | None = None):
     """Full-frame render with the sample space sharded over the mesh.
 
-    Returns (rgb, alpha) numpy arrays, identical in expectation to
-    render.render().
+    Each device owns a full film accumulator that stays RESIDENT on device
+    across all chunks (no per-chunk host transfer); the ndev partial films
+    are summed once at the end — the reduce-scatter-shaped analogue of the
+    reference's manual crop-window + exrassemble flow. Returns (rgb, alpha)
+    numpy arrays, identical in expectation to render.render().
     """
     mesh = mesh or make_mesh()
     axis = mesh.axis_names[0]
@@ -62,20 +58,17 @@ def render_sharded(scene: SceneData, opts: R.RenderOptions,
     chunk = min(opts.chunk_size * ndev, ((total + ndev - 1) // ndev) * ndev)
     per_dev = chunk // ndev
 
-    @partial(jax.jit, static_argnums=())
+    @jax.jit
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P(), P(axis), P(axis), P(axis), P(axis)),
-             out_specs=(P(axis), P(axis), P(axis)))
-    def shard_step(sc, px, py, si, valid):
-        pix, alpha, wsum = _shard_body(sc, px, py, si, valid, opts)
-        # Keep per-device partial films; merged on host (psum would
-        # replicate — a reduce_scatter-shaped film is the scalable layout).
-        return pix[None], alpha[None], wsum[None]
+             in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(axis)),
+             out_specs=P(axis))
+    def shard_step(sc, fdata, px, py, si, valid):
+        f = film_mod.Film(data=fdata[0], xres=opts.xres, yres=opts.yres,
+                          crop=opts.crop)
+        f = R.render_chunk(sc, opts, f, px, py, si, valid)
+        return f.data[None]
 
-    pix_acc = np.zeros((opts.yres, opts.xres, 3), np.float32)
-    alpha_acc = np.zeros((opts.yres, opts.xres), np.float32)
-    w_acc = np.zeros((opts.yres, opts.xres), np.float32)
-
+    fdata = jnp.zeros((ndev, opts.yres, opts.xres, 5), jnp.float32)
     n_chunks = math.ceil(total / chunk)
     for c in range(n_chunks):
         base = c * chunk
@@ -86,14 +79,12 @@ def render_sharded(scene: SceneData, opts: R.RenderOptions,
         pixid = lin // spp
         px = (xstart + (pixid % xcount)).astype(np.int32)
         py = (ystart + (pixid // xcount)).astype(np.int32)
-        pix, alpha, wsum = shard_step(scene, jnp.asarray(px), jnp.asarray(py),
-                                      jnp.asarray(s_idx), jnp.asarray(valid))
-        pix_acc += np.asarray(pix).sum(0)
-        alpha_acc += np.asarray(alpha).sum(0)
-        w_acc += np.asarray(wsum).sum(0)
+        fdata = shard_step(scene, fdata, jnp.asarray(px), jnp.asarray(py),
+                           jnp.asarray(s_idx), jnp.asarray(valid))
 
-    w = np.maximum(w_acc, 1e-10)[..., None]
-    return pix_acc / w, np.clip(alpha_acc / w[..., 0], 0.0, 1.0)
+    data = np.asarray(fdata).sum(0)
+    w = np.maximum(data[..., 4], 1e-10)[..., None]
+    return data[..., 0:3] / w, np.clip(data[..., 3] / w[..., 0], 0.0, 1.0)
 
 
 def render_loss_fn(scene: SceneData, opts: R.RenderOptions, px, py, s_idx,

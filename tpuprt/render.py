@@ -156,10 +156,8 @@ def save_checkpoint(path: str, film: film_mod.Film, next_chunk: int):
 def load_checkpoint(path: str, opts: RenderOptions):
     """Restore (film, next_chunk) written by save_checkpoint."""
     z = np.load(path)
-    film = film_mod.Film(pixels=jnp.asarray(z["pixels"]),
-                         alpha=jnp.asarray(z["alpha"]),
-                         weight_sum=jnp.asarray(z["weight_sum"]),
-                         xres=opts.xres, yres=opts.yres, crop=opts.crop)
+    film = film_mod.from_planes(z["pixels"], z["alpha"], z["weight_sum"],
+                                opts.xres, opts.yres, opts.crop)
     return film, int(z["next_chunk"])
 
 

@@ -21,6 +21,30 @@ from ..materials.factory import MATERIAL_KINDS
 from ..textures.graph import TexGraph, TexNodeMeta
 from . import data as D
 
+_TWO_PI = 2.0 * math.pi - 1e-6
+
+
+def _quadric_static_row(kind: int, params) -> Tuple[int, bool, bool]:
+    """Build-time facts for QuadricTable.static_rows: (kind, phi_full,
+    z_full). phi_full — phimax covers the full circle; z_full — the z clip
+    window cannot reject any point of the surface (only possible for the
+    sphere, whose z range is intrinsically bounded by +-radius; every other
+    kind's z window IS part of its definition)."""
+    p = np.asarray(params, np.float64)
+    if kind == D.QUADRIC_SPHERE:
+        phi_full = p[3] >= _TWO_PI
+        z_full = (p[1] <= -p[0] * (1.0 - 1e-5)) and \
+                 (p[2] >= p[0] * (1.0 - 1e-5))
+        return (kind, bool(phi_full), bool(z_full))
+    if kind == D.QUADRIC_DISK:
+        return (kind, bool(p[3] >= _TWO_PI), True)
+    if kind == D.QUADRIC_CONE:
+        return (kind, bool(p[2] >= _TWO_PI), False)
+    if kind == D.QUADRIC_HYPERBOLOID:
+        return (kind, bool(p[6] >= _TWO_PI), False)
+    # cylinder / paraboloid: phimax in p[3]; z window always meaningful.
+    return (kind, bool(p[3] >= _TWO_PI), False)
+
 
 @dataclass
 class _Quadric:
@@ -410,7 +434,9 @@ class SceneBuilder:
                 area_light=np.asarray([x.area_light for x in self.quadrics], np.int32),
                 flip_normal=np.asarray([x.flip for x in self.quadrics], np.float32),
                 count=nq,
-                kinds_present=tuple(sorted({x.kind for x in self.quadrics})))
+                kinds_present=tuple(sorted({x.kind for x in self.quadrics})),
+                static_rows=tuple(_quadric_static_row(x.kind, x.params)
+                                  for x in self.quadrics))
         else:
             z = np.zeros
             q = D.QuadricTable(kind=z((0,), np.int32), o2w=z((0, 4, 4)),
@@ -418,7 +444,7 @@ class SceneBuilder:
                                material=z((0,), np.int32),
                                area_light=z((0,), np.int32),
                                flip_normal=z((0,)), count=0,
-                               kinds_present=())
+                               kinds_present=(), static_rows=())
 
         # Triangles: concatenate meshes; record per-mesh triangle offsets.
         mesh_tri_offset = []

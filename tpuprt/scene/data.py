@@ -72,6 +72,12 @@ class QuadricTable:
     count: int = static(default=0)
     # Static set of quadric kinds present — kernels skip absent kinds.
     kinds_present: Tuple = static(default=())
+    # Per-row build-time facts (kind, phi_full, z_full) driving the unrolled
+    # small-scene brute-force path (accel/intersect.py): phi_full — phimax
+    # covers the whole circle so the atan2 clip is skipped; z_full — the
+    # z-range clips nothing. None = facts unavailable (fall back to the
+    # batched [N,Q] kernel).
+    static_rows: Tuple = static(default=None)
 
 
 @pytree_dataclass

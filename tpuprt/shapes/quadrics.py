@@ -343,3 +343,102 @@ def differential_geometry(quad: QuadricTable, qid, o, d, t):
 
     return dict(p=pw, nn=nn, u=u, v=v, dpdu=dpdu_w, dpdv=dpdv_w,
                 dndu=dndu_w, dndv=dndv_w)
+
+
+# ---------------------------------------------------------------------------
+# Per-prim unrolled test (small-scene brute-force fast path)
+# ---------------------------------------------------------------------------
+
+def intersect_one(quad: QuadricTable, i: int, kind: int, phi_full: bool,
+                  z_full: bool, o, d, mint, maxt):
+    """Test one STATICALLY-known quadric row against a ray wavefront.
+
+    Unlike `intersect` (which materializes [N,Q] intermediates whose minor
+    Q axis pads to a 128-lane TPU tile), this traces only row i's kind with
+    every array shaped [N] — the fast path `accel/intersect.py` unrolls over
+    for small scenes. phi_full / z_full are build-time facts (phimax covers
+    2*pi / the z-range clips nothing) that skip the atan2 / z tests.
+
+    Returns (t f32[N], valid bool[N]).
+    """
+    m = quad.w2o[i]
+    oo = tf.apply_point(m, o)
+    od = tf.apply_vector(m, d)
+    ox, oy, oz = oo[..., 0], oo[..., 1], oo[..., 2]
+    dx, dy, dz = od[..., 0], od[..., 1], od[..., 2]
+    p = quad.params[i]
+
+    if kind == QUADRIC_DISK:
+        # Linear: t = (h - oz) / dz (shapes/disk.cpp:57-80).
+        h = p[0]
+        ok = jnp.abs(dz) >= 1e-7
+        t = (h - oz) / jnp.where(ok, dz, 1.0)
+        valid = ok & (t > mint) & (t < maxt)
+        x = ox + t * dx
+        y = oy + t * dy
+        d2 = x * x + y * y
+        valid = valid & (d2 <= p[1] * p[1]) & (d2 >= p[2] * p[2])
+        if not phi_full:
+            phi = _phi_of(x, y, p[3])
+            valid = valid & (phi <= p[3] + 1e-6)
+        return jnp.where(valid, t, _BIG), valid
+
+    if kind == QUADRIC_SPHERE:
+        radius = p[0]
+        A = dx * dx + dy * dy + dz * dz
+        B = 2.0 * (dx * ox + dy * oy + dz * oz)
+        C = ox * ox + oy * oy + oz * oz - radius * radius
+    elif kind == QUADRIC_CYLINDER:
+        radius = p[0]
+        A = dx * dx + dy * dy
+        B = 2.0 * (dx * ox + dy * oy)
+        C = ox * ox + oy * oy - radius * radius
+    elif kind == QUADRIC_CONE:
+        r_co, h_co = p[0], p[1]
+        k_co = (r_co / jnp.where(h_co == 0, 1.0, h_co)) ** 2
+        A = dx * dx + dy * dy - k_co * dz * dz
+        B = 2.0 * (dx * ox + dy * oy - k_co * dz * (oz - h_co))
+        C = ox * ox + oy * oy - k_co * (oz - h_co) * (oz - h_co)
+    elif kind == QUADRIC_PARABOLOID:
+        r_pa, zmax_pa = p[0], p[2]
+        k_pa = zmax_pa / jnp.where(r_pa == 0, 1.0, r_pa * r_pa)
+        A = k_pa * (dx * dx + dy * dy)
+        B = 2.0 * k_pa * (dx * ox + dy * oy) - dz
+        C = k_pa * (ox * ox + oy * oy) - oz
+    else:  # QUADRIC_HYPERBOLOID
+        a_h, c_h = p[0], p[1]
+        A = a_h * (dx * dx + dy * dy) - c_h * dz * dz
+        B = 2.0 * (a_h * (dx * ox + dy * oy) - c_h * dz * oz)
+        C = a_h * (ox * ox + oy * oy) - c_h * oz * oz - 1.0
+
+    okq, t0, t1 = vm.quadratic(A, B, C)
+
+    def root_ok(t):
+        ok = okq & (t > mint) & (t < maxt)
+        if phi_full and z_full:
+            return ok
+        x = ox + t * dx
+        y = oy + t * dy
+        z = oz + t * dz
+        if not z_full:
+            if kind in (QUADRIC_SPHERE, QUADRIC_CYLINDER):
+                ok = ok & (z >= p[1]) & (z <= p[2])
+            elif kind == QUADRIC_CONE:
+                ok = ok & (z >= 0.0) & (z <= p[1])
+            elif kind == QUADRIC_PARABOLOID:
+                ok = ok & (z >= jnp.minimum(p[1], p[2])) & \
+                    (z <= jnp.maximum(p[1], p[2]))
+            else:
+                ok = ok & (z >= jnp.minimum(p[2], p[5])) & \
+                    (z <= jnp.maximum(p[2], p[5]))
+        if not phi_full:
+            phimax = p[2] if kind == QUADRIC_CONE else \
+                (p[6] if kind == QUADRIC_HYPERBOLOID else p[3])
+            phi = _phi_of(x, y, phimax)
+            ok = ok & (phi <= phimax + 1e-6)
+        return ok
+
+    in0 = root_ok(t0)
+    in1 = root_ok(t1)
+    t = jnp.where(in0, t0, jnp.where(in1, t1, _BIG))
+    return t, in0 | in1
