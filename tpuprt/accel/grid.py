@@ -119,13 +119,20 @@ def intersect(scene: SceneData, o, d, mint, maxt):
         # Step axis = argmin NextCrossingT (branchless LUT equivalent,
         # grid.cpp:274-284).
         axis = jnp.argmin(nc, axis=-1)
-        t_next = jnp.take_along_axis(nc, axis[..., None], -1)[..., 0]
+
+        def ax_comp(v):
+            # One-hot select; take_along_axis over the size-3 minor axis
+            # lowers to a DMA gather ~100x slower than 3 selects.
+            return jnp.where(axis == 0, v[..., 0],
+                             jnp.where(axis == 1, v[..., 1], v[..., 2]))
+
+        t_next = jnp.minimum(jnp.minimum(nc[..., 0], nc[..., 1]),
+                             nc[..., 2])
         # Done if a hit before the next voxel crossing, or leaving grid.
         found = best_t < t_next
         onehot = jax.nn.one_hot(axis, 3, dtype=jnp.int32)
         new_pos = pos + onehot * step
-        leaving = jnp.take_along_axis(new_pos, axis[..., None], -1)[..., 0] == \
-            jnp.take_along_axis(out, axis[..., None], -1)[..., 0]
+        leaving = ax_comp(new_pos) == ax_comp(out)
         past_end = t_next > maxt
         active = active & ~found & ~leaving & ~past_end
         nc = nc + onehot.astype(nc.dtype) * delta_t

@@ -230,7 +230,10 @@ def compute_differentials(dg, rx_o, rx_d, ry_o, ry_d, active):
     ax1 = jnp.where(dom == 2, 1, 2)
 
     def comp(v, ax):
-        return jnp.take_along_axis(v, ax[..., None], -1)[..., 0]
+        # One-hot select instead of take_along_axis: tiny-minor-axis
+        # gathers are ~100x slower than the 3 selects on TPU.
+        return jnp.where(ax == 0, v[..., 0],
+                         jnp.where(ax == 1, v[..., 1], v[..., 2]))
 
     a00 = comp(dpdu, ax0)
     a01 = comp(dpdv, ax0)

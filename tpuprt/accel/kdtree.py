@@ -35,8 +35,13 @@ def _descend(kd: KdTreeAccel, o, inv_d, t0, t1):
         interior = flags < 3
         axis = jnp.minimum(flags, 2)
         split = kd.node_split[node]
-        o_a = jnp.take_along_axis(o, axis[..., None], -1)[..., 0]
-        inv_a = jnp.take_along_axis(inv_d, axis[..., None], -1)[..., 0]
+        # One-hot selects (take_along_axis over a size-3 minor axis lowers
+        # to a DMA gather that costs more than the whole descend step).
+        def ax_comp(v):
+            return jnp.where(axis == 0, v[..., 0],
+                             jnp.where(axis == 1, v[..., 1], v[..., 2]))
+        o_a = ax_comp(o)
+        inv_a = ax_comp(inv_d)
         tplane = (split - o_a) * inv_a
         # Near child by origin sidedness (kdtree.cpp:348-351 semantics).
         d_a_neg = inv_a < 0.0

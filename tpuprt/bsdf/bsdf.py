@@ -549,15 +549,21 @@ def sample_f(b: BsdfBatch, wo_w, u1, u2, u3, mask=ALL):
                         jnp.maximum(ncomp - 1, 0))
     cum = jnp.cumsum(match.astype(jnp.int32), axis=-1) - 1  # rank per lobe
     sel_onehot = match & (cum == which[..., None])
-    sel_idx = jnp.argmax(sel_onehot, axis=-1)  # [...]
 
+    # One-hot masked sums, NOT take_along_axis: a gather over the tiny L
+    # minor axis is one of the most expensive ops of a whole wavefront pass
+    # on TPU (~2.8ms per [N,L,3] gather at 131K lanes, xplane-measured); a
+    # select+reduce over L fuses into cheap VPU code. Exactly one lobe is
+    # selected, so the sums reproduce the gathered row bit-exactly (empty
+    # selection -> zeros; callers mask by `valid`).
     def gath(a):
-        idx = sel_idx
-        if a.ndim == idx.ndim + 1:      # [...,L]
-            return jnp.take_along_axis(a, idx[..., None], axis=-1)[..., 0]
-        else:                            # [...,L,C]
-            return jnp.take_along_axis(
-                a, idx[..., None, None], axis=-2)[..., 0, :]
+        if a.dtype == jnp.bool_:
+            return jnp.any(a & sel_onehot, axis=-1)
+        if a.ndim == sel_onehot.ndim:    # [...,L]
+            return jnp.sum(jnp.where(sel_onehot, a, 0), axis=-1,
+                           dtype=a.dtype)
+        return jnp.sum(jnp.where(sel_onehot[..., None], a, 0), axis=-2,
+                       dtype=a.dtype)    # [...,L,C]
 
     wo = world_to_local(b, wo_w)
     wi_l, pdf_sel, f_spec = _lobe_sample(

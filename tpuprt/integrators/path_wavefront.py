@@ -47,6 +47,33 @@ from . import common
 _EPS = vm.RAY_EPSILON
 
 
+def _rank_among_true(mask):
+    """Exclusive prefix count of a bool[N]: out[i] = #True among mask[:i].
+
+    jnp.cumsum over a long minor axis lowers to a multi-pass slice/reduce
+    chain on TPU (~19ms for 131K lanes — measured as the single hottest op
+    of a wavefront pass). Two-level formulation instead: an intra-block
+    inclusive prefix via a [128,128] triangular matmul on the MXU + a short
+    cumsum over per-block sums. Exact in f32 (counts < 2^24).
+    """
+    n = mask.shape[0]
+    block = 128
+    nb = -(-n // block)
+    x = mask.astype(jnp.float32)
+    if nb * block != n:
+        x = jnp.pad(x, (0, nb * block - n))
+    xb = x.reshape(nb, block)
+    # T[i,j] = 1 iff i <= j  ->  (xb @ T)[b,j] = inclusive prefix in block.
+    tri = jnp.triu(jnp.ones((block, block), jnp.float32))
+    intra = xb @ tri
+    sums = xb.sum(axis=1)
+    offs = jnp.concatenate([jnp.zeros((1,), jnp.float32),
+                            jnp.cumsum(sums)[:-1]])
+    incl = intra + offs[:, None]
+    excl = incl.reshape(-1)[:n] - x[:n]
+    return excl.astype(jnp.int32)
+
+
 def _regen(scene: SceneData, cfg, lin, seed, xres, yres, xstart, xcount,
            ystart, spp):
     """Fresh camera rays (+x/+y differentials) for linear sample ids."""
@@ -157,7 +184,7 @@ def _step(scene: SceneData, film, st, cursor, cfg, seed, max_depth,
 
     # --- regenerate ------------------------------------------------------
     dead = ~alive
-    slot = jnp.cumsum(dead.astype(jnp.int32)) - 1      # rank among dead
+    slot = _rank_among_true(dead)                      # rank among dead
     new_lin = cursor + slot
     regen = dead & (new_lin < total)
     fresh = _regen(scene, cfg, jnp.where(regen, new_lin, 0), seed, xres,

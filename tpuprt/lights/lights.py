@@ -235,8 +235,6 @@ def sample(scene: SceneData, light_id, p, n, u1, u2, u3):
             from ..core import transform as tfm
             qkind = scene.quadrics.kind[qid]
             pq = scene.quadrics.params[qid]
-            o2w_q = scene.quadrics.o2w[qid]
-            w2o_q = scene.quadrics.w2o[qid]
             # Disk params [height, radius, inner, phimax]: r = sqrt-lerp in
             # r^2 for uniform area over the annulus sector.
             d_h, d_r, d_ri, d_ph = (pq[..., 0], pq[..., 1], pq[..., 2],
@@ -261,8 +259,13 @@ def sample(scene: SceneData, light_id, p, n, u1, u2, u3):
             is_disk = (qkind == QUADRIC_DISK)[..., None]
             obj_ps = jnp.where(is_disk, disk_ps, cyl_ps)
             obj_ns = jnp.where(is_disk, disk_ns, cyl_ns)
-            ps_flat = tfm.apply_point(o2w_q, obj_ps)
-            ns_flat = vm.normalize(tfm.apply_normal(w2o_q, obj_ns))
+            # Matrices via per-row select chains, NOT [N,4,4] gathers — a
+            # gathered [N,4,4] costs ~9ms at 131K lanes on TPU (measured
+            # via xplane trace; the minor 4x4 pads to a full tile).
+            o2w_c = tfm.row_components(scene.quadrics.o2w, qid)
+            w2o_c = tfm.row_components(scene.quadrics.w2o, qid)
+            ps_flat = tfm.rows_apply_point(o2w_c, obj_ps)
+            ns_flat = vm.normalize(tfm.rows_apply_normal(w2o_c, obj_ns))
             sphere_kind = (qkind == QUADRIC_SPHERE)[..., None]
             ps_q = jnp.where(sphere_kind, ps_q, ps_flat)
             ns_q = jnp.where(sphere_kind, ns_q, ns_flat)
