@@ -45,9 +45,17 @@ def main(argv=None):
     if args.integrator:
         opts = opts._replace(integrator=args.integrator)
     if args.spp:
-        opts = opts._replace(
-            sampler=opts.sampler._replace(kind="lowdiscrepancy",
-                                          pixelsamples=args.spp))
+        # Override only the sample count; the scene's sampler kind (and its
+        # sequence) stays as authored. Stratified samplers express spp as
+        # xsamples*ysamples — factor the override into a near-square grid.
+        if opts.sampler.kind == "stratified":
+            xs = max(1, int(args.spp ** 0.5))
+            ys = max(1, (args.spp + xs - 1) // xs)
+            opts = opts._replace(
+                sampler=opts.sampler._replace(xsamples=xs, ysamples=ys))
+        else:
+            opts = opts._replace(
+                sampler=opts.sampler._replace(pixelsamples=args.spp))
 
     ckpt = opts.filename + ".ckpt.npz" if (args.checkpoint or args.resume) \
         else None

@@ -180,3 +180,90 @@ def test_differentials_wired_through_integrator():
     jump_f = np.abs(np.diff(lf)).mean()
     jump_p = np.abs(np.diff(lp)).mean()
     assert jump_p > 4 * jump_f, (jump_f, jump_p)
+
+
+def test_specular_reflection_differentials_flat_mirror():
+    """specular_ray_differentials (whitted.cpp:88-109) on a flat mirror is
+    exact: the propagated aux direction equals the true reflection of the
+    incoming aux ray, and the aux origin lands on the true aux hit."""
+    import jax.numpy as jnp
+    from tpuprt.integrators import common
+    from tpuprt.core import vecmath as vm
+
+    n = jnp.asarray([[0.0, 0.0, 1.0]])
+    o = jnp.asarray([[0.3, -0.2, 2.0]])
+    d = vm.normalize(jnp.asarray([[0.25, 0.1, -1.0]]))
+    # Aux camera rays: same origin, slightly rotated directions.
+    rxd = vm.normalize(d + jnp.asarray([[1e-3, 0.0, 0.0]]))
+    ryd = vm.normalize(d + jnp.asarray([[0.0, 1e-3, 0.0]]))
+
+    def hit_plane(oo, dd):
+        t = -oo[..., 2] / dd[..., 2]
+        return oo + t[..., None] * dd
+
+    p = hit_plane(o, d)
+    p_rx = hit_plane(o, rxd)
+    p_ry = hit_plane(o, ryd)
+    wo = -d
+    wi = d - 2.0 * vm.dot(d, n)[..., None] * n  # exact mirror reflection
+
+    dg = dict(p=p, dpdx=p_rx - p, dpdy=p_ry - p,
+              dndu=jnp.zeros_like(p), dndv=jnp.zeros_like(p),
+              dudx=jnp.zeros(1), dvdx=jnp.zeros(1),
+              dudy=jnp.zeros(1), dvdy=jnp.zeros(1))
+    rx_o, rx_d, ry_o, ry_d = common.specular_ray_differentials(
+        dg, n, wo, wi, rxd, ryd, jnp.ones(1), jnp.zeros(1, bool))
+
+    np.testing.assert_allclose(np.asarray(rx_o), np.asarray(p_rx),
+                               atol=1e-6)
+    wi_rx_true = rxd - 2.0 * vm.dot(rxd, n)[..., None] * n
+    wi_ry_true = ryd - 2.0 * vm.dot(ryd, n)[..., None] * n
+    # First-order propagation; tolerance ~ offset^2.
+    np.testing.assert_allclose(np.asarray(rx_d), np.asarray(wi_rx_true),
+                               atol=5e-6)
+    np.testing.assert_allclose(np.asarray(ry_d), np.asarray(wi_ry_true),
+                               atol=5e-6)
+
+
+def test_specular_transmission_differentials_flat_interface():
+    """Refraction branch vs finite differences on a flat dielectric."""
+    import jax.numpy as jnp
+    from tpuprt.integrators import common
+    from tpuprt.core import vecmath as vm
+
+    eta = 1.5  # etat/etai entering
+    n = jnp.asarray([[0.0, 0.0, 1.0]])
+    o = jnp.asarray([[0.1, 0.05, 1.5]])
+    d = vm.normalize(jnp.asarray([[0.3, -0.15, -1.0]]))
+    rxd = vm.normalize(d + jnp.asarray([[1e-4, 0.0, 0.0]]))
+    ryd = vm.normalize(d + jnp.asarray([[0.0, 1e-4, 0.0]]))
+
+    def refract(dd):
+        # Exact Snell refraction entering the medium (n up, dd downward).
+        cosi = -vm.dot(dd, n)
+        eta_r = 1.0 / eta  # etai/etat
+        sint2 = eta_r * eta_r * (1.0 - cosi * cosi)
+        cost = jnp.sqrt(1.0 - sint2)
+        return vm.normalize(eta_r * dd + (eta_r * cosi - cost)[..., None] * n)
+
+    def hit_plane(oo, dd):
+        t = -oo[..., 2] / dd[..., 2]
+        return oo + t[..., None] * dd
+
+    p = hit_plane(o, d)
+    p_rx = hit_plane(o, rxd)
+    wo = -d
+    wi = refract(d)
+    dg = dict(p=p, dpdx=p_rx - p, dpdy=hit_plane(o, ryd) - p,
+              dndu=jnp.zeros_like(p), dndv=jnp.zeros_like(p),
+              dudx=jnp.zeros(1), dvdx=jnp.zeros(1),
+              dudy=jnp.zeros(1), dvdy=jnp.zeros(1))
+    rx_o, rx_d, ry_o, ry_d = common.specular_ray_differentials(
+        dg, n, wo, wi, rxd, ryd, jnp.full(1, eta), jnp.ones(1, bool))
+
+    wi_rx_true = refract(rxd)
+    # The propagated direction is unnormalized first-order; compare the
+    # direction of change per unit offset.
+    dwi_prop = (np.asarray(rx_d) - np.asarray(wi)) / 1e-4
+    dwi_true = (np.asarray(wi_rx_true) - np.asarray(wi)) / 1e-4
+    np.testing.assert_allclose(dwi_prop, dwi_true, atol=2e-2)

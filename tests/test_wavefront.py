@@ -76,11 +76,66 @@ def test_wavefront_small_lane_pool():
     np.testing.assert_allclose(small, big, atol=2e-4, rtol=2e-4)
 
 
-def test_wavefront_rejects_volumes():
+def test_wavefront_accepts_volumes():
+    """A Volume statement no longer forces the scan driver (the old
+    fallback raised here); full parity is checked by
+    test_wavefront_matches_scan_volume_scene."""
     scene, opts = _scene()
     vol_scene, vol_opts = load_scene_string(CORNELL.replace(
         "WorldEnd",
         'Volume "homogeneous" "color sigma_a" [0.1 0.1 0.1] '
         '"point p0" [-5 -5 0] "point p1" [5 5 6]\nWorldEnd'))
-    with pytest.raises(ValueError):
-        path_wavefront.render(vol_scene, vol_opts)
+    rgb, alpha = path_wavefront.render(
+        vol_scene, vol_opts._replace(chunk_size=1024))
+    assert np.isfinite(rgb).all()
+
+
+VOLUME_BOX = """
+Film "image" "integer xresolution" [32] "integer yresolution" [32]
+Camera "perspective" "float fov" [55]
+Sampler "lowdiscrepancy" "integer pixelsamples" [2]
+SurfaceIntegrator "path" "integer maxdepth" [3]
+VolumeIntegrator "single" "float stepsize" [0.2]
+WorldBegin
+LightSource "point" "color I" [14 14 14] "point from" [0 1.6 2]
+Volume "homogeneous" "color sigma_a" [0.12 0.1 0.08]
+  "color sigma_s" [0.25 0.25 0.3] "color Le" [0.01 0.01 0.012]
+  "point p0" [-2 -2 1] "point p1" [2 2 5]
+Material "matte" "color Kd" [0.7 0.6 0.5]
+Translate 0 0 3
+Shape "sphere" "float radius" [0.8]
+WorldEnd
+"""
+
+
+def test_wavefront_matches_scan_volume_scene():
+    """Volume scenes no longer fall back: the wavefront composes
+    Scene::Li's L = T*Lo + Lv inline (VERDICT r2 item 6) with the same
+    random streams as the scan driver, so the images match exactly."""
+    scene, opts = load_scene_string(VOLUME_BOX)
+    assert scene.volumes is not None and scene.volumes.count == 1
+    opts = opts._replace(integrator="path", filter_kind="box",
+                         filter_xwidth=0.5, filter_ywidth=0.5,
+                         chunk_size=512)
+    rgb_scan, alpha_scan = R.render(scene, opts)
+    rgb_wf, alpha_wf = path_wavefront.render(scene, opts)
+    assert np.isfinite(rgb_wf).all()
+    np.testing.assert_allclose(rgb_wf, rgb_scan, atol=3e-4, rtol=3e-4)
+    np.testing.assert_allclose(alpha_wf, alpha_scan, atol=1e-5)
+
+
+def test_phase_functions_normalize():
+    """PhaseRayleigh/MieHazy/MieMurky/Schlick (volume.cpp:28-56) must each
+    integrate to 1 over the sphere."""
+    import jax.numpy as jnp
+    from tpuprt.core import mc
+    n = 200000
+    rng_ = np.random.default_rng(0)
+    cos_t = jnp.asarray(rng_.uniform(-1, 1, n), jnp.float32)
+    for fn in (mc.phase_isotropic, mc.phase_rayleigh, mc.phase_mie_hazy,
+               mc.phase_mie_murky,
+               lambda c: mc.phase_schlick(c, 0.4),
+               lambda c: mc.phase_schlick(c, -0.6)):
+        # Integral over sphere = 2*pi * E_{cos~U(-1,1)}[p] * 2.
+        est = float(jnp.mean(fn(cos_t))) * 4.0 * np.pi
+        assert abs(est - 1.0) < 2e-2, (fn, est)

@@ -22,9 +22,13 @@ PRIM_TRIANGLE = 1
 # The Pallas dense Möller-Trumbore kernel (ops/mt_pallas.py) beats the jnp
 # all-pairs path on TPU once the [N, T] intermediates stop fitting caches
 # (measured 2.6x at 64K rays x 1K tris on v5e, and the jnp path OOMs HBM
-# beyond ~128K x 4K). Below the threshold XLA's fusion of the tiny test
-# into surrounding ops wins. Set to 0/None to force on/off (tests use
-# force_pallas to exercise the kernel in interpret mode on CPU).
+# beyond ~128K x 4K). With the default accel='auto' policy (unrolled brute
+# force <=64 prims, grid <=4096, skip-link BVH above) this dense path only
+# runs when a scene explicitly requests Accelerator "none" with a large
+# triangle count — it is the dense-batch building block, not the default.
+# force_pallas is read at TRACE time: set it before the first render of a
+# given shape (flipping it later does not invalidate jitted executables);
+# it exists for tests, which exercise the kernel in interpret mode on CPU.
 PALLAS_MIN_TRIS = 256
 force_pallas = None  # None = auto by backend; True/False = override
 
@@ -127,7 +131,10 @@ def _brute_force(scene: SceneData, o, d, mint, maxt, any_hit=False):
 def intersect_ids(scene: SceneData, o, d, mint, maxt):
     """Nearest-hit (t, prim_id, hit) without differential geometry."""
     if scene.accel is not None:
-        from ..scene.data import KdTreeAccel
+        from ..scene.data import BvhAccel, KdTreeAccel
+        if isinstance(scene.accel, BvhAccel):
+            from . import bvh as bvh_mod
+            return bvh_mod.intersect(scene, o, d, mint, maxt)
         if isinstance(scene.accel, KdTreeAccel):
             from . import kdtree as kd_mod
             return kd_mod.intersect(scene, o, d, mint, maxt)
@@ -139,7 +146,12 @@ def intersect_ids(scene: SceneData, o, d, mint, maxt):
 def occluded(scene: SceneData, o, d, mint, maxt):
     """Any-hit shadow-ray predicate (Scene::IntersectP)."""
     if scene.accel is not None:
-        from ..scene.data import KdTreeAccel
+        from ..scene.data import BvhAccel, KdTreeAccel
+        if isinstance(scene.accel, BvhAccel):
+            from . import bvh as bvh_mod
+            _, _, hit = bvh_mod.intersect(scene, o, d, mint, maxt,
+                                          any_hit=True)
+            return hit
         if isinstance(scene.accel, KdTreeAccel):
             from . import kdtree as kd_mod
             _, _, hit = kd_mod.intersect(scene, o, d, mint, maxt,

@@ -592,5 +592,12 @@ def sample_f(b: BsdfBatch, wo_w, u1, u2, u3, mask=ALL):
     f_val = jnp.where(is_spec[..., None], f_spec, f_sum)
 
     valid = any_match & (pdf_sel > 0.0)
+    # BSDF eta of the sampled lobe (etat/etai for dielectrics, 1 else) —
+    # needed by specular ray-differential propagation (whitted.cpp:117).
+    eta_cols = gath(lo.eta)
+    eta_bsdf = jnp.where(
+        gath(lo.kind) == BX_SPECTRANS,
+        eta_cols[..., 1] / jnp.maximum(eta_cols[..., 0], 1e-6), 1.0)
     return dict(wi=wi_w, f=f_val, pdf=jnp.where(valid, pdf_total, 0.0),
-                flags=sampled_flags, specular=is_spec, valid=valid)
+                flags=sampled_flags, specular=is_spec, valid=valid,
+                eta=eta_bsdf)

@@ -179,3 +179,42 @@ def distribution1d_sample_discrete(func, cdf, func_int, u):
     idx = jnp.clip(jnp.searchsorted(cdf, u, side="right") - 1, 0, n - 1)
     pmf = jnp.take(func, idx) / jnp.maximum(func_int * n, 1e-20)
     return idx, pmf
+
+
+# ---------------------------------------------------------------------------
+# Phase functions (/root/reference/core/volume.cpp:28-56). All take
+# costheta = dot(w, w') and return the phase value (sr^-1).
+# ---------------------------------------------------------------------------
+
+_INV_4PI = 1.0 / (4.0 * jnp.pi)
+
+
+def phase_isotropic(costheta):
+    """PhaseIsotropic (volume.cpp:28-30)."""
+    return jnp.full_like(jnp.asarray(costheta, jnp.float32), _INV_4PI)
+
+
+def phase_rayleigh(costheta):
+    """PhaseRayleigh (volume.cpp:31-34)."""
+    return 3.0 / (16.0 * jnp.pi) * (1.0 + costheta * costheta)
+
+
+def phase_mie_hazy(costheta):
+    """PhaseMieHazy (volume.cpp:35-38)."""
+    return (0.5 + 4.5 * jnp.power(
+        jnp.maximum(0.5 * (1.0 + costheta), 0.0), 8.0)) * _INV_4PI
+
+
+def phase_mie_murky(costheta):
+    """PhaseMieMurky (volume.cpp:39-42)."""
+    return (0.5 + 16.5 * jnp.power(
+        jnp.maximum(0.5 * (1.0 + costheta), 0.0), 32.0)) * _INV_4PI
+
+
+def phase_schlick(costheta, g):
+    """PhaseSchlick (volume.cpp:49-56): k = 1.55 g - 0.55 g^3 approximation
+    of Henyey-Greenstein with an analytically invertible CDF."""
+    k = 1.55 * g - 0.55 * g * g * g
+    kcos = k * costheta
+    return _INV_4PI * (1.0 - k * k) / jnp.maximum(
+        (1.0 - kcos) * (1.0 - kcos), 1e-12)

@@ -83,6 +83,62 @@ def _bump(scene: SceneData, dg, tex_vals):
     return out
 
 
+def specular_ray_differentials(dg, ns, wo, wi, rx_d, ry_d, eta, is_trans):
+    """Ray differentials of a specular reflected/transmitted ray
+    (/root/reference/integrators/whitted.cpp:88-136): given the incoming
+    aux-ray directions rx_d/ry_d and the first-order surface derivatives in
+    dg (dpdx/dpdy, dndu/dndv, dudx..dvdy), return the continuation ray's
+    (rx_o, rx_d, ry_o, ry_d). eta: BSDF eta (etat/etai); is_trans selects
+    the refraction formula per lane.
+    """
+    p = dg["p"]
+    rx_o = p + dg["dpdx"]
+    ry_o = p + dg["dpdy"]
+    dndx = dg["dndu"] * dg["dudx"][..., None] + \
+        dg["dndv"] * dg["dvdx"][..., None]
+    dndy = dg["dndu"] * dg["dudy"][..., None] + \
+        dg["dndv"] * dg["dvdy"][..., None]
+    dwodx = -rx_d - wo
+    dwody = -ry_d - wo
+    dDNdx = vm.dot(dwodx, ns) + vm.dot(wo, dndx)
+    dDNdy = vm.dot(dwody, ns) + vm.dot(wo, dndy)
+    wodn = vm.dot(wo, ns)
+
+    refl_rx = wi - dwodx + 2.0 * (wodn[..., None] * dndx +
+                                  dDNdx[..., None] * ns)
+    refl_ry = wi - dwody + 2.0 * (wodn[..., None] * dndy +
+                                  dDNdy[..., None] * ns)
+
+    w = -wo
+    # Deliberate divergence from whitted.cpp:117-120, which selects
+    # eta=bsdf.eta when ENTERING the medium: the first-order refraction
+    # derivative needs the Snell direction ratio etai/etat (= 1/eta
+    # entering, eta exiting). The v1 selection is inverted — a known v1
+    # erratum, fixed in later pbrt editions; our FD test exposes it as an
+    # exact -eta^2 scale error.
+    eta_r = jnp.where(wodn > 0.0, 1.0 / jnp.maximum(eta, 1e-6), eta)
+    widn = vm.dot(wi, ns)
+    widn_safe = jnp.where(jnp.abs(widn) < 1e-6,
+                          jnp.where(widn < 0, -1e-6, 1e-6), widn)
+    wdn = vm.dot(w, ns)
+    mu = eta_r * wdn - widn
+    dmu_fac = eta_r - (eta_r * eta_r * wdn) / widn_safe
+    dmudx = dmu_fac * dDNdx
+    dmudy = dmu_fac * dDNdy
+    # Second deliberate sign fix vs whitted.cpp:134-135 (same erratum
+    # family): wi = eta*w - mu*n with w = -wo gives
+    # dwi = -eta*dwodx + (dmu*n + mu*dndx); validated against exact Snell
+    # refraction by finite differences in test_differentials.
+    trans_rx = wi - eta_r[..., None] * dwodx + \
+        (mu[..., None] * dndx + dmudx[..., None] * ns)
+    trans_ry = wi - eta_r[..., None] * dwody + \
+        (mu[..., None] * dndy + dmudy[..., None] * ns)
+
+    m = is_trans[..., None]
+    return (rx_o, jnp.where(m, trans_rx, refl_rx),
+            ry_o, jnp.where(m, trans_ry, refl_ry))
+
+
 def estimate_direct(scene: SceneData, light_id, p, n, wo, bsdf: B.BsdfBatch,
                     ls1, ls2, ls3, bs1, bs2, bcs, active):
     """EstimateDirect (core/transport.cpp:123-194) for a wavefront.

@@ -21,9 +21,10 @@ and the developed image matches to scatter-add reordering (~1e-6).
 
 Semantics preserved from path.cpp:58-145 via the same building blocks:
 MIS one-light NEE, Le only on first/post-specular vertices, RR p=0.5
-after bounce 3. Volume scenes fall back to the scan driver (the
-camera-segment volume composition needs per-sample t_first at develop
-time, which the regenerating pool does not keep).
+after bounce 3. Volume scenes compose Scene::Li's L = T*Lo + Lv inline at
+the bounce-0 pass (T folded into throughput before any radiance
+accumulates, Lv splatted once), so the regenerating pool handles Volume
+statements without falling back to the scan driver.
 """
 from __future__ import annotations
 
@@ -76,7 +77,12 @@ def _rank_among_true(mask):
 
 def _regen(scene: SceneData, cfg, lin, seed, xres, yres, xstart, xcount,
            ystart, spp):
-    """Fresh camera rays (+x/+y differentials) for linear sample ids."""
+    """Fresh camera rays (+x/+y differentials) for linear sample ids.
+
+    lin is uint32: linear sample ids run to xres*yres*spp, which exceeds
+    int32 at 4Kx4K x 128spp; uint32 doubles the headroom (render() guards
+    the 2^32 ceiling)."""
+    lin = lin.astype(jnp.uint32)
     s_idx = (lin % spp).astype(jnp.int32)
     pix = lin // spp
     px = (xstart + pix % xcount).astype(jnp.int32)
@@ -98,7 +104,8 @@ def _regen(scene: SceneData, cfg, lin, seed, xres, yres, xstart, xcount,
 
 def _step(scene: SceneData, film, st, cursor, cfg, seed, max_depth,
           rr_start, total, xres, yres, xstart, xcount, ystart, spp,
-          filter_kind, filter_xwidth, filter_ywidth):
+          filter_kind, filter_xwidth, filter_ywidth,
+          vol_integrator="emission"):
     """One wavefront pass: bounce every live lane once, splat + regenerate
     finished lanes. Returns (film, state, cursor, n_alive, n_active)."""
     alive = st["alive"]
@@ -110,9 +117,35 @@ def _step(scene: SceneData, film, st, cursor, cfg, seed, max_depth,
     ph = rng.hash_u32(px, py, seed, 0xBA5E)
     has_inf = bool(scene.lights.infinite_meta)
     has_lights = scene.lights.count > 0
+    has_vols = scene.volumes is not None and scene.volumes.count > 0
     n_active = jnp.sum(alive.astype(jnp.float32))
 
     t, pid, hit = isect.intersect_ids(scene, ro, rd, st["mint"], st["maxt"])
+
+    if has_vols:
+        # Volume composition matching the scan driver + Scene::Li exactly
+        # (same streams, so wavefront == scan holds on volume scenes):
+        # bounce-0 segments realize the driver's L = T*Lo + Lv
+        # (core/scene.cpp:120-126; T multiplies throughput BEFORE any
+        # radiance is accumulated, Lv adds un-attenuated once); bounce>0
+        # segments get path.cpp:89's per-segment transmittance.
+        from ..volumes import regions as vr
+        from . import volume as vol_integ
+        ph_cam = rng.hash_u32(px, py, seed, 0xF0)
+        seg_end = jnp.where(hit, t, st["maxt"])
+        u_cam = rng.uniform(ph_cam, s_idx, 0x7A)
+        u_seg = rng.uniform(ph, s_idx, bounce, 0x77)
+        tr = vr.transmittance(scene.volumes, ro, rd, st["mint"], seg_end,
+                              jnp.where(first, u_cam, u_seg))
+        throughput = jnp.where(alive[..., None], throughput * tr,
+                               throughput)
+        if vol_integrator == "single":
+            Lv = vol_integ.li_single(scene, ro, rd, st["mint"], seg_end,
+                                     ph_cam, s_idx, seed)
+        else:
+            Lv = vol_integ.li_emission(scene, ro, rd, st["mint"], seg_end,
+                                       u_cam)
+        L = L + jnp.where((first & alive)[..., None], Lv, 0.0)
 
     if has_inf:
         take_le = ~hit & alive & (first | specular)
@@ -185,11 +218,12 @@ def _step(scene: SceneData, film, st, cursor, cfg, seed, max_depth,
     # --- regenerate ------------------------------------------------------
     dead = ~alive
     slot = _rank_among_true(dead)                      # rank among dead
-    new_lin = cursor + slot
-    regen = dead & (new_lin < total)
+    # uint32 sample ids: see _regen (int32 overflows at 2^31 samples).
+    new_lin = cursor.astype(jnp.uint32) + slot.astype(jnp.uint32)
+    regen = dead & (new_lin < jnp.uint32(total))
     fresh = _regen(scene, cfg, jnp.where(regen, new_lin, 0), seed, xres,
                    yres, xstart, xcount, ystart, spp)
-    n_regen = jnp.sum(regen.astype(jnp.int32))
+    n_regen = jnp.sum(regen.astype(jnp.uint32))
 
     def sel(new, old):
         m = regen
@@ -215,7 +249,7 @@ def _step(scene: SceneData, film, st, cursor, cfg, seed, max_depth,
         alpha=jnp.where(regen, 0.0, alpha),
         specular=jnp.where(regen, False, specular),
     )
-    cursor = cursor + n_regen
+    cursor = cursor.astype(jnp.uint32) + n_regen
     n_alive = jnp.sum(st_out["alive"].astype(jnp.int32))
     return film, st_out, cursor, n_alive, n_active, n_shadow
 
@@ -232,16 +266,17 @@ INNER = 8
 @partial(jax.jit, donate_argnums=(1, 2, 3),
          static_argnames=("cfg", "seed", "max_depth", "total", "xres",
                           "yres", "xstart", "xcount", "ystart", "spp",
-                          "filter_kind", "filter_xwidth", "filter_ywidth"))
+                          "filter_kind", "filter_xwidth", "filter_ywidth",
+                          "vol_integrator"))
 def _jstep(scene, film, st, cursor, *, cfg, seed, max_depth, total, xres,
            yres, xstart, xcount, ystart, spp, filter_kind, filter_xwidth,
-           filter_ywidth):
+           filter_ywidth, vol_integrator="emission"):
     def body(carry, _):
         film_c, st_c, cur_c = carry
         film_c, st_c, cur_c, n_alive, n_active, n_shadow = _step(
             scene, film_c, st_c, cur_c, cfg, seed, max_depth, 3, total,
             xres, yres, xstart, xcount, ystart, spp, filter_kind,
-            filter_xwidth, filter_ywidth)
+            filter_xwidth, filter_ywidth, vol_integrator)
         return (film_c, st_c, cur_c), (n_alive, n_active, n_shadow)
     (film, st, cursor), (n_alive, n_active, n_shadow) = jax.lax.scan(
         body, (film, st, cursor), None, length=INNER)
@@ -253,10 +288,10 @@ def _jstep(scene, film, st, cursor, *, cfg, seed, max_depth, total, xres,
          static_argnames=("cfg", "seed", "max_depth", "total", "xres",
                           "yres", "xstart", "xcount", "ystart", "spp",
                           "filter_kind", "filter_xwidth", "filter_ywidth",
-                          "pass_limit"))
+                          "pass_limit", "vol_integrator"))
 def _jrun(scene, film, st, cursor, *, cfg, seed, max_depth, total, xres,
           yres, xstart, xcount, ystart, spp, filter_kind, filter_xwidth,
-          filter_ywidth, pass_limit):
+          filter_ywidth, pass_limit, vol_integrator="emission"):
     """The entire wavefront drive as ONE device-side while_loop dispatch.
 
     The host-chunked driver costs a device->host scalar read per INNER
@@ -278,7 +313,7 @@ def _jrun(scene, film, st, cursor, *, cfg, seed, max_depth, total, xres,
         film_c, st_c, cur_c, _n_alive, n_active, n_shadow = _step(
             scene, film_c, st_c, cur_c, cfg, seed, max_depth, 3, total,
             xres, yres, xstart, xcount, ystart, spp, filter_kind,
-            filter_xwidth, filter_ywidth)
+            filter_xwidth, filter_ywidth, vol_integrator)
         stats_c = stats_c + jnp.stack(
             [n_active, n_shadow, (n_active > 0).astype(n_active.dtype)])
         return (film_c, st_c, cur_c, stats_c, npass + 1)
@@ -296,7 +331,7 @@ def _jinit(scene, *, cfg, seed, n_lanes, total, xres, yres, xstart, xcount,
     """Initial fill: lanes 0..n_lanes-1 take the first sample ids. Jitted:
     un-jitted this is ~50 individually-dispatched device ops, seconds of
     pure launch latency over a remote-TPU tunnel."""
-    lin0 = jnp.arange(n_lanes)
+    lin0 = jnp.arange(n_lanes, dtype=jnp.uint32)
     valid0 = lin0 < total
     fresh = _regen(scene, cfg, jnp.minimum(lin0, total - 1), seed,
                    xres, yres, xstart, xcount, ystart, spp)
@@ -318,13 +353,14 @@ _develop = jax.jit(film_mod.develop)
 def render(scene: SceneData, opts, progress: bool = False, stats=None):
     """Full-frame wavefront render (path integrator only). Returns
     (rgb, alpha) like render.render."""
-    if scene.volumes is not None and scene.volumes.count > 0:
-        raise ValueError("wavefront driver does not support volume scenes; "
-                         "use the scan driver")
     film = film_mod.make_film(opts.xres, opts.yres, opts.crop)
     xstart, xcount, ystart, ycount = film_mod.pixel_extent(film)
     spp = smp.samples_per_pixel(opts.sampler)
     total = xcount * ycount * spp
+    if total >= 2 ** 32:
+        raise ValueError(
+            f"sample space {total} exceeds the uint32 cursor; split the "
+            "render with crop windows (film/image.cpp:79-85 semantics)")
     n_lanes = int(min(opts.chunk_size, total))
     cfg = opts.sampler
 
@@ -333,7 +369,8 @@ def render(scene: SceneData, opts, progress: bool = False, stats=None):
                    xstart=xstart, xcount=xcount, ystart=ystart, spp=spp,
                    filter_kind=opts.filter_kind,
                    filter_xwidth=opts.filter_xwidth,
-                   filter_ywidth=opts.filter_ywidth)
+                   filter_ywidth=opts.filter_ywidth,
+                   vol_integrator=opts.volume_integrator)
 
     def jstep(film, st, cursor):
         return _jstep(scene, film, st, cursor, **step_kw)
@@ -341,7 +378,8 @@ def render(scene: SceneData, opts, progress: bool = False, stats=None):
     st = _jinit(scene, cfg=cfg, seed=opts.seed, n_lanes=n_lanes,
                 total=total, xres=opts.xres, yres=opts.yres, xstart=xstart,
                 xcount=xcount, ystart=ystart, spp=spp)
-    cursor = jnp.asarray(n_lanes if total >= n_lanes else total, jnp.int32)
+    cursor = jnp.asarray(n_lanes if total >= n_lanes else total,
+                         jnp.uint32)
 
     if not progress:
         # Whole render in one dispatch; host reads back only final stats.

@@ -36,7 +36,8 @@ def li(scene: SceneData, o, d, mint, maxt, cfg: smp.SamplerConfig,
     has_inf = bool(scene.lights.infinite_meta)
 
     def body(carry, depth):
-        ro, rd, rmint, rmaxt, throughput, L, alive, alpha, t_first = carry
+        (ro, rd, rmint, rmaxt, throughput, L, alive, alpha, t_first,
+         rxo, rxd, ryo, ryd) = carry
         first = depth == 0
 
         t, pid, hit = isect.intersect_ids(scene, ro, rd, rmint, rmaxt)
@@ -55,8 +56,11 @@ def li(scene: SceneData, o, d, mint, maxt, cfg: smp.SamplerConfig,
 
         dg = isect.hit_geometry(scene, pid, ro, rd, t)
         if rx is not None:
-            dg = isect.compute_differentials(dg, rx[0], rx[1], ry[0], ry[1],
-                                             first & alive)
+            # Differentials at EVERY depth: the carried aux rays are the
+            # camera pair at depth 0, then the specular-propagated pair
+            # (whitted.cpp:88-136), so EWA texture filtering through
+            # mirrors/glass keeps a real anisotropic footprint.
+            dg = isect.compute_differentials(dg, rxo, rxd, ryo, ryd, alive)
         # Area-light emission at the hit (whitted.cpp:69).
         Le = lt.area_emission(scene, dg["area_light"], dg["nn"], -rd)
         L = L + jnp.where(alive[..., None], throughput * Le, 0.0)
@@ -98,21 +102,36 @@ def li(scene: SceneData, o, d, mint, maxt, cfg: smp.SamplerConfig,
                            jnp.maximum(bs["pdf"], 1e-20))[..., None]
         throughput = jnp.where(cont[..., None], throughput * scale,
                                throughput)
+        # Specular differential propagation (whitted.cpp:88-136).
+        if rx is not None:
+            is_trans = jnp.bitwise_and(bs["flags"], B.TRANSMISSION) > 0
+            nrxo, nrxd, nryo, nryd = common.specular_ray_differentials(
+                dg, ns, wo, bs["wi"], rxd, ryd, bs["eta"], is_trans)
+            m = cont[..., None]
+            rxo = jnp.where(m, nrxo, rxo)
+            rxd = jnp.where(m, nrxd, rxd)
+            ryo = jnp.where(m, nryo, ryo)
+            ryd = jnp.where(m, nryd, ryd)
         alive = cont
         ro = p
         rd = bs["wi"]
         rmint = rmint * 0.0 + _EPS
         rmaxt = rmaxt * 0.0 + 1e30
         return (ro, rd, rmint, rmaxt, throughput, L, alive, alpha,
-                t_first), None
+                t_first, rxo, rxd, ryo, ryd), None
 
     # Carry state derived from the (possibly shard_map-varying) ray inputs
     # so lax.scan sees consistent varying axes on every component.
+    zero_d = d * 0.0
     init = (o, d, mint + d[..., 0] * 0.0, maxt + d[..., 0] * 0.0,
             jnp.ones_like(o),
             jnp.zeros_like(o),
             d[..., 0] * 0.0 == 0.0,
             d[..., 0] * 0.0,
-            maxt + d[..., 0] * 0.0)
+            maxt + d[..., 0] * 0.0,
+            (rx[0] + zero_d) if rx is not None else zero_d,
+            (rx[1] + zero_d) if rx is not None else zero_d,
+            (ry[0] + zero_d) if rx is not None else zero_d,
+            (ry[1] + zero_d) if rx is not None else zero_d)
     carry, _ = jax.lax.scan(body, init, jnp.arange(max_depth + 1))
     return carry[5], carry[7], carry[8]

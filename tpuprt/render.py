@@ -142,7 +142,17 @@ def render_chunk(scene: SceneData, opts: RenderOptions, film: film_mod.Film,
                                 opts.filter_ywidth)
 
 
-def save_checkpoint(path: str, film: film_mod.Film, next_chunk: int):
+def _render_fingerprint(opts: RenderOptions) -> str:
+    """Identity of the sample schedule a checkpoint belongs to: resuming
+    under a different schedule would silently blend wrong pixels."""
+    return repr((opts.xres, opts.yres, tuple(opts.crop), opts.seed,
+                 opts.sampler, opts.integrator, opts.max_depth,
+                 opts.filter_kind, opts.filter_xwidth, opts.filter_ywidth,
+                 opts.chunk_size))
+
+
+def save_checkpoint(path: str, film: film_mod.Film, next_chunk: int,
+                    opts: RenderOptions = None):
     """Dump the film accumulator + wavefront cursor (the TPU analogue of
     the reference's writefrequency partial image, film/image.cpp:142-146,
     made resumable: deterministic counter-based sampling means re-running
@@ -150,12 +160,22 @@ def save_checkpoint(path: str, film: film_mod.Film, next_chunk: int):
     np.savez(path, pixels=np.asarray(film.pixels),
              alpha=np.asarray(film.alpha),
              weight_sum=np.asarray(film.weight_sum),
-             next_chunk=np.int64(next_chunk))
+             next_chunk=np.int64(next_chunk),
+             fingerprint=np.array(
+                 _render_fingerprint(opts) if opts is not None else ""))
 
 
 def load_checkpoint(path: str, opts: RenderOptions):
-    """Restore (film, next_chunk) written by save_checkpoint."""
+    """Restore (film, next_chunk) written by save_checkpoint. Refuses a
+    checkpoint whose render schedule does not match `opts`."""
     z = np.load(path)
+    if "fingerprint" in z.files:
+        saved = str(z["fingerprint"])
+        if saved and saved != _render_fingerprint(opts):
+            raise ValueError(
+                f"checkpoint {path} was written by a different render "
+                "configuration (resolution/sampler/seed/integrator...); "
+                "refusing to resume into it")
     film = film_mod.from_planes(z["pixels"], z["alpha"], z["weight_sum"],
                                 opts.xres, opts.yres, opts.crop)
     return film, int(z["next_chunk"])
@@ -235,7 +255,7 @@ def render(scene: SceneData, opts: RenderOptions, progress: bool = False,
             exr.write_exr(opts.filename, np.asarray(rgb_p),
                           np.asarray(alpha_p))
             if checkpoint_path is not None:
-                save_checkpoint(checkpoint_path, film, c + 1)
+                save_checkpoint(checkpoint_path, film, c + 1, opts)
     if rep is not None:
         rep.done()
     rgb, alpha = film_mod.develop(film)

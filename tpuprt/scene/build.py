@@ -642,18 +642,24 @@ class SceneBuilder:
         # reference defaults to kdtree for everything, api.cpp:495; brute
         # force beats traversal for tiny prim counts on a vector machine).
         nprims = nq + nt_total
-        want = self.accel_kind in ("grid", "kdtree") or \
+        want = self.accel_kind in ("grid", "kdtree", "bvh") or \
             (self.accel_kind == "auto" and nprims > 64)
         if want and nprims > 0:
             import dataclasses
-            if self.accel_kind == "kdtree" or (
-                    self.accel_kind == "auto" and nprims > 4096):
+            if self.accel_kind == "kdtree":
                 from ..accel.kdtree_build import build_kdtree
                 kw = {k: v for k, v in self.accel_params.items()
                       if k in ("isect_cost", "trav_cost", "empty_bonus",
                                "max_prims", "max_depth")}
                 scene = dataclasses.replace(scene,
                                             accel=build_kdtree(scene, **kw))
+            elif self.accel_kind == "bvh" or (
+                    self.accel_kind == "auto" and nprims > 4096):
+                # TPU-first default for big scenes: the skip-link BVH walks
+                # one packed gather per node (accel/bvh_build.py) where
+                # kd-restart pays O(depth) gathers per visited leaf.
+                from ..accel.bvh_build import build_bvh
+                scene = dataclasses.replace(scene, accel=build_bvh(scene))
             else:
                 from ..accel.grid_build import build_grid
                 scene = dataclasses.replace(scene, accel=build_grid(scene))

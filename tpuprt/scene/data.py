@@ -280,6 +280,25 @@ class KdTreeAccel:
 
 
 @pytree_dataclass
+class BvhAccel:
+    """Skip-link ("threaded") BVH in preorder: traversal is a stackless
+    link-walk — next = hit ? node+1 : skip — costing ONE packed node gather
+    per visited node (built by accel/bvh_build.py; traversal accel/bvh.py).
+    The TPU-first accelerator for large scenes: kd-restart (KdTreeAccel)
+    re-descends from the root per leaf, paying O(depth) gathers each time,
+    and gathers are the dominant TPU cost."""
+    bounds_lo: jnp.ndarray = None   # f32[3]
+    bounds_hi: jnp.ndarray = None   # f32[3]
+    # Packed rows: [lo0..2, hi0..2, skip, first_slot, nprims, pad x3].
+    nodes: jnp.ndarray = None       # f32[NN, 12]
+    prim_ids: jnp.ndarray = None    # i32[n_leaf*K], -1 padded
+    tri9: jnp.ndarray = None        # f32[T, 9] packed world-space vertices
+    n_nodes: int = static(default=1)
+    leaf_k: int = static(default=4)
+    n_quadrics: int = static(default=0)
+
+
+@pytree_dataclass
 class SceneData:
     quadrics: QuadricTable = None
     triangles: TriangleTable = None
