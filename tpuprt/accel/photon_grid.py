@@ -101,14 +101,17 @@ _NBR = np.stack(np.meshgrid([-1, 0, 1], [-1, 0, 1], [-1, 0, 1],
 def gather_photons(grid: PhotonGrid, q, accum, init):
     """Scan photons within `radius` of each query point q f32[B,3].
 
-    Vectorized over the 27 neighbor cells: accum(carry, wi, alpha, w) is
-    called bucket_cap times inside a fori_loop with [B,27]-shaped photon
-    batches (wi/alpha are [B,27,3]); w is True only for in-range photons.
+    Vectorized over the 27 neighbor cells: accum(carry, wi, alpha, w[, d2])
+    is called bucket_cap times inside a fori_loop with [B,27]-shaped photon
+    batches (wi/alpha are [B,27,3]); w is True only for in-range photons;
+    accept a 5th argument to receive squared distances (kernel estimators).
     Returns the final carry (a pytree of arrays).
     """
     if grid.count == 0 or grid.bucket_cap == 0:
         return init
+    import inspect
     import jax
+    wants_d2 = len(inspect.signature(accum).parameters) >= 5
     r2 = jnp.float32(grid.radius * grid.radius)
     base = jnp.floor(q / grid.radius).astype(jnp.int32)
     cells = base[..., None, :] + jnp.asarray(_NBR, jnp.int32)   # [B,27,3]
@@ -122,6 +125,8 @@ def gather_photons(grid: PhotonGrid, q, accum, init):
         pp = grid.p[idx]                                         # [B,27,3]
         d2 = jnp.sum((pp - q[..., None, :]) ** 2, -1)
         w = (j < cnt) & (d2 < r2)
+        if wants_d2:
+            return accum(carry, grid.wi[idx], grid.alpha[idx], w, d2)
         return accum(carry, grid.wi[idx], grid.alpha[idx], w)
 
     return jax.lax.fori_loop(0, grid.bucket_cap, body, init)

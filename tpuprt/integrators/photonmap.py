@@ -72,11 +72,14 @@ class PhotonMaps:
 # ---------------------------------------------------------------------------
 
 def shoot_batch(scene: SceneData, base: int, n: int, depth_bound: int,
-                seed: int):
+                seed: int, radiance: bool = False):
     """Trace n photon paths with global path ids base..base+n-1.
 
     Returns per-depth stacked arrays [D, n]: pos, wi, alpha, cls
-    (0 direct / 1 caustic / 2 indirect), valid."""
+    (0 direct / 1 caustic / 2 indirect), valid; with radiance=True the
+    tuple extends with (nn, rho_r, rho_t, rad_pick) for exphotonmap's
+    radiance photons (exphotonmap.cpp:410-421: candidate with prob 1/8,
+    normal flipped against the photon direction, rho per hemisphere)."""
     idx = jnp.arange(n, dtype=jnp.uint32) + jnp.uint32(base + 1)
     u0 = rng.radical_inverse(idx, 2)
     u1 = rng.radical_inverse(idx, 3)
@@ -111,6 +114,13 @@ def shoot_batch(scene: SceneData, base: int, n: int, depth_bound: int,
         has_nonspec = B.num_components(bsdf, B.ALL) > nspec
         cls = jnp.where(depth == 0, 0, jnp.where(spec_path, 1, 2))
         out = (dg["p"], -d, alpha, cls, alive & has_nonspec)
+        if radiance:
+            nn_f = jnp.where(vm.dot(dg["nn"], d)[..., None] > 0.0,
+                             -dg["nn"], dg["nn"])
+            rho_r = B.rho_approx(bsdf, B.ALL_REFLECTION)
+            rho_t = B.rho_approx(bsdf, B.ALL_TRANSMISSION)
+            pick = rng.uniform(ph, depth, 0xAD) < 0.125
+            out = out + (nn_f, rho_r, rho_t, pick)
 
         # Continuation (photonmap.cpp:262-292): QMC dims at the first
         # bounce, hash RNG after.
@@ -141,7 +151,7 @@ def shoot_batch(scene: SceneData, base: int, n: int, depth_bound: int,
 
 
 def build_maps(scene: SceneData, prm: PhotonParams, seed: int = 0,
-               log=None) -> PhotonMaps:
+               log=None, collect_radiance: bool = False):
     """Host loop around jitted batches (the reference's Preprocess while
     loop, photonmap.cpp:163-296). Exact normalization: each map's n_paths
     is the number of paths shot up to and including the one that filled
@@ -153,16 +163,32 @@ def build_maps(scene: SceneData, prm: PhotonParams, seed: int = 0,
                                   np.zeros((0, 3), np.float32),
                                   np.zeros((0, 3), np.float32),
                                   prm.max_dist, 1.0)
-        return PhotonMaps(caustic=empty, direct=empty, indirect=empty)
+        maps = PhotonMaps(caustic=empty, direct=empty, indirect=empty)
+        if collect_radiance:
+            return maps, dict(p=np.zeros((0, 3), np.float32),
+                              n=np.zeros((0, 3), np.float32),
+                              rho_r=np.zeros((0, 3), np.float32),
+                              rho_t=np.zeros((0, 3), np.float32))
+        return maps
 
     shoot = jax.jit(lambda b: shoot_batch(scene, b, prm.batch,
-                                          prm.shoot_depth, seed),
+                                          prm.shoot_depth, seed,
+                                          radiance=collect_radiance),
                     static_argnums=())
+    rad = {"p": [], "n": [], "rho_r": [], "rho_t": []}
     coll = {k: {"pos": [], "wi": [], "alpha": [], "pid": []}
             for k in targets}
     shot = 0
     while shot < prm.max_shot:
-        pos, wi, al, cls, valid = (np.asarray(x) for x in shoot(shot))
+        outs = [np.asarray(x) for x in shoot(shot)]
+        pos, wi, al, cls, valid = outs[:5]
+        if collect_radiance:
+            r_nn, r_rr, r_rt, r_pick = outs[5:9]
+            rm = valid & r_pick
+            rad["p"].append(pos[rm])
+            rad["n"].append(r_nn[rm])
+            rad["rho_r"].append(r_rr[rm])
+            rad["rho_t"].append(r_rt[rm])
         D, n = valid.shape
         # path-major flatten so photon order follows global path ids
         pids = np.broadcast_to(np.arange(shot, shot + n), (D, n))
@@ -220,7 +246,12 @@ def build_maps(scene: SceneData, prm: PhotonParams, seed: int = 0,
         else:
             n_paths = float(shot)
         grids[k] = build_photon_grid(pos, wi, al, prm.max_dist, n_paths)
-    return PhotonMaps(**grids)
+    maps = PhotonMaps(**grids)
+    if collect_radiance:
+        cat = {k: (np.concatenate(v) if v else
+                   np.zeros((0, 3), np.float32)) for k, v in rad.items()}
+        return maps, cat
+    return maps
 
 
 # ---------------------------------------------------------------------------

@@ -59,6 +59,12 @@ def _li_dispatch(scene, opts: RenderOptions, o, d, mint, maxt,
         return photonmap.li(scene, aux, o, d, mint, maxt, opts.sampler,
                             px, py, s_idx, opts.max_depth, opts.seed,
                             prm, rx=rx, ry=ry)
+    if opts.integrator == "exphotonmap":
+        from .integrators import exphotonmap
+        prm = opts.photon if opts.photon else exphotonmap.ExPhotonParams()
+        return exphotonmap.li(scene, aux, o, d, mint, maxt, opts.sampler,
+                              px, py, s_idx, opts.max_depth, opts.seed,
+                              prm, rx=rx, ry=ry)
     if opts.integrator == "igi":
         from .integrators import igi
         prm = opts.igi if opts.igi else igi.IgiParams()
@@ -205,6 +211,10 @@ def render(scene: SceneData, opts: RenderOptions, progress: bool = False,
         from .integrators import photonmap
         prm = opts.photon if opts.photon else photonmap.PhotonParams()
         aux = photonmap.build_maps(scene, prm, opts.seed)
+    elif opts.integrator == "exphotonmap":
+        from .integrators import exphotonmap
+        prm = opts.photon if opts.photon else exphotonmap.ExPhotonParams()
+        aux = exphotonmap.build_aux(scene, prm, opts.seed)
     elif opts.integrator == "igi":
         from .integrators import igi as igi_mod
         prm = opts.igi if opts.igi else igi_mod.IgiParams()

@@ -788,7 +788,8 @@ class PbrtParser:
         integ = self.integrator_name
         integ_map = {"whitted": "whitted", "path": "path",
                      "directlighting": "directlighting", "debug": "debug",
-                     "photonmap": "photonmap", "exphotonmap": "photonmap",
+                     "photonmap": "photonmap",
+                     "exphotonmap": "exphotonmap",
                      "igi": "igi", "bidirectional": "bidirectional",
                      "irradiancecache": "irradiancecache"}
         irrad = ()
@@ -813,7 +814,7 @@ class PbrtParser:
                 mindist=ip.find_one("mindist", 0.1),
                 rrthreshold=ip.find_one("rrthreshold", 0.05),
                 indirectscale=ip.find_one("indirectscale", 1.0))
-        if integ in ("photonmap", "exphotonmap"):
+        if integ == "photonmap":
             # CreateSurfaceIntegrator params (photonmap.cpp:511-524).
             from ..integrators.photonmap import PhotonParams
             ip = self.integrator_params
@@ -826,6 +827,19 @@ class PbrtParser:
                 gather_samples=ip.find_one("finalgathersamples", 32),
                 direct_with_photons=bool(ip.find_one("directwithphotons",
                                                      False)))
+        elif integ == "exphotonmap":
+            # CreateSurfaceIntegrator params (exphotonmap.cpp:709-727).
+            from ..integrators.exphotonmap import ExPhotonParams
+            ip = self.integrator_params
+            photon = ExPhotonParams(
+                caustic=ip.find_one("causticphotons", 20000),
+                indirect=ip.find_one("indirectphotons", 100000),
+                direct=ip.find_one("directphotons", 100000),
+                max_dist=ip.find_one("maxdist", 0.1),
+                final_gather=bool(ip.find_one("finalgather", True)),
+                gather_samples=ip.find_one("finalgathersamples", 32),
+                gather_angle=ip.find_one("gatherangle", 10.0),
+                max_specular_depth=ip.find_one("maxspeculardepth", 5))
         opts = R.RenderOptions(
             xres=xres, yres=yres, sampler=scfg,
             filter_kind=self.filter_name,
