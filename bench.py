@@ -1,67 +1,97 @@
-"""Benchmark: primary+shadow rays/sec on the BASELINE config-3 scene.
+"""Benchmarks: primary+shadow rays/sec on the BASELINE workloads.
 
-Runs the wavefront path tracer on scenes/config3.pbrt at 256x256 x 32spp
-— the exact workload measured on the reference renderer in this image
-(pbrt-v1 built from /root/reference with OpenEXR 3.x + hand-written
+Two workloads, both measured against the reference renderer built in this
+image (pbrt-v1 from /root/reference with OpenEXR 3.x + hand-written
 parser; see tools/build_reference.md):
 
-    $ time bin/pbrt bench3.pbrt            # 256^2, 32 spp, path, maxdepth 5
-    real 7.726s    Camera Rays Traced 2.114M    shadow rays 3.363M
-    => (2.114M + 3.363M) / 7.726s = 0.709M primary+shadow rays/s (1 core)
+  config3  scenes/bench3.pbrt — 256^2 x 32spp path-traced Cornell
+           (10 tris + 3 quadrics, wavefront path driver).
+           pbrt-v1: 7.726s, 2.114M camera + 3.363M shadow rays
+           => 0.709M primary+shadow rays/s on one CPU core.
 
-vs_baseline divides by that measured figure (same scene, same counters:
-camera samples + NEE shadow rays; our continuation rays are NOT counted,
-matching pbrt's counter definitions).
+  config4  scenes/config4_big.pbrt — 512^2 x 4spp directlighting over a
+           100K-triangle terrain (accelerator benchmark; our packet-
+           traversal BVH vs the reference's kd-tree).
+           pbrt-v1: 2.41s, 1.05M camera + 387K shadow rays
+           => 0.596M primary+shadow rays/s on one CPU core.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The rays/s normalizer is the REFERENCE's measured ray count for the exact
+workload divided by each renderer's wall time — throughput at equal work,
+immune to counter-definition differences.
+
+Prints ONE JSON line. The headline metric/value/vs_baseline is config3
+(continuity with rounds 1-2); config4 is reported alongside as
+config4_value / config4_vs_baseline.
 """
 import json
 import os
 import time
 
 # Measured on this image's CPU (single thread), 2026-08-20.
-PBRT_V1_MEASURED_RAYS_PER_SEC = 0.709e6
+PBRT_CONFIG3_RAYS_PER_SEC = 0.709e6
+PBRT_CONFIG4_RAYS_PER_SEC = 0.596e6
+CONFIG3_REF_RAYS = 2.114e6 + 3.363e6
+CONFIG4_REF_RAYS = 1.05e6 + 0.387e6
+
+
+def bench_config3(here):
+    import jax
+    from tpuprt.scene.parser import load_scene
+    from tpuprt.integrators import path_wavefront
+    from tpuprt.utils.stats import StatsRegistry
+
+    scene, opts = load_scene(os.path.join(here, "scenes", "bench3.pbrt"))
+    opts = opts._replace(chunk_size=1 << 17)
+    path_wavefront.render(scene, opts)           # warmup/compile
+    stats = StatsRegistry()
+    t0 = time.time()
+    path_wavefront.render(scene, opts, stats=stats)
+    dt = time.time() - t0
+    return dt, stats
+
+
+def bench_config4(here):
+    from tpuprt.scene.parser import load_scene
+    from tpuprt import render as R
+
+    scene, opts = load_scene(os.path.join(here, "scenes",
+                                          "config4_big.pbrt"))
+    opts = opts._replace(chunk_size=1 << 17)
+    R.render(scene, opts)                        # warmup/compile
+    t0 = time.time()
+    R.render(scene, opts)
+    return time.time() - t0
 
 
 def main():
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/tpuprt_jax_cache")
-    from tpuprt.scene.parser import load_scene
-    from tpuprt.integrators import path_wavefront
-    from tpuprt.utils.stats import StatsRegistry
-
     here = os.path.dirname(os.path.abspath(__file__))
-    scene, opts = load_scene(os.path.join(here, "scenes", "bench3.pbrt"))
-    opts = opts._replace(chunk_size=1 << 17)
-    spp = 32
-    total_samples = 256 * 256 * spp
 
-    # Warmup (compiles the step); second run is the measurement.
-    path_wavefront.render(scene, opts)
-    stats = StatsRegistry()
-    t0 = time.time()
-    path_wavefront.render(scene, opts, stats=stats)
-    dt = time.time() - t0
-
-    # Rays/s normalizer: the REFERENCE's measured ray count for this
-    # exact workload (2.114M camera + 3.363M shadow) divided by each
-    # renderer's wall time — i.e., throughput at equal work, immune to
-    # counter-definition differences (pbrt skips shadow rays whose f or
-    # Li is black; the masked wavefront traces them all).
-    REFERENCE_RAYS_THIS_WORKLOAD = 2.114e6 + 3.363e6
+    dt3, stats = bench_config3(here)
+    rate3 = CONFIG3_REF_RAYS / dt3
     shadow = stats.get("Wavefront", "Shadow rays traced")
-    rate = REFERENCE_RAYS_THIS_WORKLOAD / dt
+
+    dt4 = bench_config4(here)
+    rate4 = CONFIG4_REF_RAYS / dt4
+
     print(json.dumps({
         "metric": "primary+shadow rays/sec/chip (config3 Cornell path)",
-        "value": round(rate, 1),
+        "value": round(rate3, 1),
         "unit": "rays/s",
-        "vs_baseline": round(rate / PBRT_V1_MEASURED_RAYS_PER_SEC, 3),
-        "wall_s": round(dt, 3),
-        "camera_rays": total_samples,
+        "vs_baseline": round(rate3 / PBRT_CONFIG3_RAYS_PER_SEC, 3),
+        "wall_s": round(dt3, 3),
+        "camera_rays": 256 * 256 * 32,
         "shadow_rays": int(shadow),
-        "baseline_rays_per_sec": PBRT_V1_MEASURED_RAYS_PER_SEC,
+        "baseline_rays_per_sec": PBRT_CONFIG3_RAYS_PER_SEC,
+        "config4_metric": "primary+shadow rays/sec/chip (config4_big "
+                          "100K-tri terrain, packet-BVH)",
+        "config4_value": round(rate4, 1),
+        "config4_vs_baseline": round(rate4 / PBRT_CONFIG4_RAYS_PER_SEC, 3),
+        "config4_wall_s": round(dt4, 3),
+        "config4_baseline_rays_per_sec": PBRT_CONFIG4_RAYS_PER_SEC,
         "baseline_note": "pbrt-v1 measured on this image's CPU, same "
-                         "scene/counters (tools/build_reference.md)",
+                         "scenes/counters (tools/build_reference.md)",
     }))
 
 

@@ -112,3 +112,39 @@ def test_mixed_quadric_scene():
     m = np.asarray(hit_ref)
     np.testing.assert_allclose(np.asarray(t_b)[m], np.asarray(t_ref)[m],
                                rtol=2e-5, atol=2e-5)
+
+
+def test_packet_pallas_matches_loop_traversal():
+    """The Pallas packet-traversal kernel (interpret mode on CPU) must
+    agree with the jnp link-walk on hits, ids, and t."""
+    from tpuprt.accel import bvh as bvh_mod
+
+    scene = _random_mesh_scene(500, seed=11)
+    scene_bvh = dataclasses.replace(scene, accel=build_bvh(scene))
+    o, d, mint, maxt = _rays(700, seed=12)
+    old = bvh_mod.force_pallas
+    try:
+        bvh_mod.force_pallas = False
+        t_ref, id_ref, hit_ref = bvh_mod.intersect(scene_bvh, o, d, mint,
+                                                   maxt)
+        bvh_mod.force_pallas = True
+        t_k, id_k, hit_k = bvh_mod.intersect(scene_bvh, o, d, mint, maxt)
+    finally:
+        bvh_mod.force_pallas = old
+    assert (np.asarray(hit_k) == np.asarray(hit_ref)).all()
+    m = np.asarray(hit_ref)
+    assert (np.asarray(id_k)[m] == np.asarray(id_ref)[m]).all()
+    np.testing.assert_allclose(np.asarray(t_k)[m], np.asarray(t_ref)[m],
+                               rtol=2e-5, atol=2e-5)
+    # any-hit agreement too.
+    try:
+        bvh_mod.force_pallas = False
+        _, _, h_ref = bvh_mod.intersect(scene_bvh, o, d, mint,
+                                        jnp.full((700,), 1.2),
+                                        any_hit=True)
+        bvh_mod.force_pallas = True
+        _, _, h_k = bvh_mod.intersect(scene_bvh, o, d, mint,
+                                      jnp.full((700,), 1.2), any_hit=True)
+    finally:
+        bvh_mod.force_pallas = old
+    assert (np.asarray(h_k) == np.asarray(h_ref)).all()

@@ -27,6 +27,17 @@ from ..scene.data import BvhAccel, SceneData
 
 _BIG = jnp.float32(1e30)
 
+# Packet-traversal Pallas kernel (ops/bvh_pallas.py): the default on TPU
+# for quadric-free scenes. None = auto by backend; True/False = override
+# (read at trace time — set before the first render of a given shape).
+force_pallas = None
+
+
+def _use_pallas(nq: int) -> bool:
+    if force_pallas is not None:
+        return force_pallas and nq == 0
+    return nq == 0 and jax.default_backend() == "tpu"
+
 
 def _mt_rows(row, j, o, d, mint, maxt):
     """Moller-Trumbore against the j-th inlined triangle of a leaf row."""
@@ -61,6 +72,18 @@ def intersect(scene: SceneData, o, d, mint, maxt, any_hit: bool = False):
     n = o.shape[0]
     nn = bvh.n_nodes
     nq = bvh.n_quadrics
+
+    if _use_pallas(nq):
+        from ..ops import bvh_pallas
+        interp = jax.default_backend() != "tpu"
+        _, best_id, hit = bvh_pallas.intersect(bvh, o, d, mint, maxt,
+                                               any_hit=any_hit,
+                                               interpret=interp)
+        from .grid import _test_prims
+        t_diff, valid = _test_prims(scene, jnp.maximum(best_id, 0), o_d,
+                                    d_d, mint_d, maxt_d * 0 + _BIG, hit)
+        t_out = jnp.where(hit & valid, t_diff, _BIG)
+        return t_out, best_id, hit
 
     d_safe = jnp.where(jnp.abs(d) < 1e-12,
                        jnp.where(d < 0, -1e-12, 1e-12), d)

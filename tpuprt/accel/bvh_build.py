@@ -57,33 +57,45 @@ def _morton3(x, y, z):
 
 def _radix_split(codes, a, b):
     """Split [a,b) at the highest-differing-Morton-bit boundary (falls back
-    to the midpoint when all codes agree)."""
+    to the midpoint when all codes agree). Returns (mid, axis) — axis is
+    the world axis of the split bit (Morton interleave x<<2|y<<1|z)."""
     ca = int(codes[a])
     cb = int(codes[b - 1])
     if ca == cb:
-        return (a + b) // 2
+        return (a + b) // 2, 0
     hb = (ca ^ cb).bit_length() - 1
     threshold = (ca & ~((1 << (hb + 1)) - 1)) | (1 << hb)
     m = a + int(np.searchsorted(codes[a:b], threshold))
     if m <= a or m >= b:
         m = (a + b) // 2
-    return m
+    return m, 2 - (hb % 3)
 
 
 def _split_children(codes, a, b):
-    """Up to BRANCH child ranges of [a,b): three radix-split levels."""
+    """BRANCH rank-indexed child slots of [a,b): three radix-split levels.
+
+    Returns (slots, axes): slots is a list of 8 (s, e) ranges (empty ones
+    are (s, s)) whose 3-bit rank encodes which side of each split level
+    the child lies on — the kernel orders its descent by XORing the rank
+    with the packet's direction signs along `axes` (the Z-order near-first
+    trick). Unsplittable sub-ranges stay on the 0 branch of their level."""
     ranges = [(a, b)]
-    for _ in range(3):
+    axes = []
+    for lvl in range(3):
         nxt = []
+        lvl_axis = 0
         for (s, e) in ranges:
-            if e - s <= LEAF_K:
+            if e - s <= LEAF_K or e <= s:
                 nxt.append((s, e))
+                nxt.append((e, e))
             else:
-                m = _radix_split(codes, s, e)
+                m, ax = _radix_split(codes, s, e)
+                lvl_axis = ax
                 nxt.append((s, m))
                 nxt.append((m, e))
         ranges = nxt
-    return [(s, e) for (s, e) in ranges if e > s]
+        axes.append(lvl_axis)
+    return ranges, axes
 
 
 def build_bvh(scene: SceneData) -> BvhAccel:
@@ -128,8 +140,8 @@ def build_bvh(scene: SceneData) -> BvhAccel:
         if b - a <= LEAF_K:
             n = 1
         else:
-            n = 1 + sum(count_nodes(s, e)
-                        for (s, e) in _split_children(codes, a, b))
+            slots, _axes = _split_children(codes, a, b)
+            n = 1 + sum(count_nodes(s, e) for (s, e) in slots if e > s)
         _size_memo[key] = n
         return n
 
@@ -158,12 +170,21 @@ def build_bvh(scene: SceneData) -> BvhAccel:
                 if gid >= nq:
                     rows[node, 8 + 9 * j: 17 + 9 * j] = tri9[gid - nq]
             return 1
-        kids = _split_children(codes, a, b)
-        sizes = [count_nodes(s, e) for (s, e) in kids]
+        slots, axes = _split_children(codes, a, b)
+        kids = [(r, (s, e)) for r, (s, e) in enumerate(slots) if e > s]
+        sizes = [count_nodes(s, e) for _, (s, e) in kids]
+        # Interior extras for the ordered (stack) traversal: rank-indexed
+        # child preorder ids in cols 8..15 (-1 = empty rank) and the three
+        # split-level axes in cols 16..18 — the kernel XORs the rank with
+        # the packet's direction signs along these axes for a near-first
+        # Z-order descent.
+        rows[node, 8:16] = -1.0
+        rows[node, 16:19] = np.asarray(axes, np.float32)
         child_id = node + 1
         total = 1
-        for i, ((s, e), sz) in enumerate(zip(kids, sizes)):
+        for i, ((rank, (s, e)), sz) in enumerate(zip(kids, sizes)):
             child_skip = child_id + sz if i + 1 < len(kids) else skip
+            rows[node, 8 + rank] = child_id
             emit(s, e, child_skip)
             child_id += sz
             total += sz

@@ -158,6 +158,8 @@ def estimate_direct(scene: SceneData, light_id, p, n, wo, bsdf: B.BsdfBatch,
     f_val = B.f(bsdf, wo, wi)
     f_black = jnp.all(f_val == 0.0, axis=-1)
     need_vis = usable & ~f_black
+    from ..scene.data import LIGHT_AREA as _LA
+    has_area = _LA in (scene.lights.kinds_present or (_LA,))
     occ = isect.occluded(scene, p, wi,
                          jnp.full(light_pdf.shape, _EPS), smp["vis_maxt"])
     # Lanes not needing visibility must not pay for a miss: occluded() runs
@@ -185,35 +187,49 @@ def estimate_direct(scene: SceneData, light_id, p, n, wo, bsdf: B.BsdfBatch,
     bpdf = bs["pdf"]
     go = non_delta & bs["valid"] & (bpdf > 0.0) & ~jnp.all(f2 == 0.0, axis=-1)
     lpdf2 = lt.pdf(scene, light_id, p, n, wi2)
-    # Trace the BSDF-strategy ray; identify the light.
-    t2, pid2, hit2 = isect.intersect_ids(
-        scene, p, wi2, jnp.full(bpdf.shape, _EPS),
-        jnp.full(bpdf.shape, 1e30))
-    dg2 = isect.hit_geometry_light(scene, pid2, p, wi2, t2)
-    hit_is_light = hit2 & (dg2["area_light"] == light_id) & \
-        (kind == LIGHT_AREA)
-    Li2 = jnp.where(hit_is_light[..., None],
-                    lt.area_emission(scene, dg2["area_light"], dg2["nn"], -wi2),
-                    0.0)
-    # Escaped ray hitting THIS infinite light (transport.cpp:181-188 uses
-    # light->Le(ray), per light — summing all env lights here would double
-    # count when several are present).
-    esc = ~hit2 & (kind == LIGHT_INFINITE)
-    Li2 = jnp.where(esc[..., None], lt.env_radiance(scene, light_id, wi2),
-                    Li2)
-    # Area-light pdf from the actual hit: triangle sets and uniform-area-
-    # sampled quadrics (disk/cylinder); spheres keep the analytic cone pdf.
-    use_hit_pdf = lights.area_geom_kind[light_id] == AREA_GEOM_TRIS
-    if scene.quadrics.count > 0:
-        from ..scene.data import AREA_GEOM_QUADRIC, QUADRIC_SPHERE
-        qid = jnp.clip(lights.area_first[light_id], 0,
-                       scene.quadrics.count - 1)
-        use_hit_pdf = use_hit_pdf | (
-            (lights.area_geom_kind[light_id] == AREA_GEOM_QUADRIC) &
-            (scene.quadrics.kind[qid] != QUADRIC_SPHERE))
-    lpdf_hit = lt.pdf_area_from_hit(scene, light_id, p, wi2,
-                                    dg2["p"], dg2["nn"])
-    lpdf2 = jnp.where(hit_is_light & use_hit_pdf, lpdf_hit, lpdf2)
+    if not has_area:
+        # No area lights: strategy 2 can only collect an INFINITE light's
+        # Le on escape (transport.cpp:181-188), so an any-hit test decides
+        # everything — a nearest-hit traversal + hit geometry would be
+        # pure waste (the BSDF-strategy ray is one of the two hottest
+        # traversals of a direct-lighting pass).
+        occ2 = isect.occluded(scene, p, wi2, jnp.full(bpdf.shape, _EPS),
+                              jnp.full(bpdf.shape, 1e30))
+        esc = ~occ2 & (kind == LIGHT_INFINITE)
+        Li2 = jnp.where(esc[..., None],
+                        lt.env_radiance(scene, light_id, wi2), 0.0)
+    else:
+        # Trace the BSDF-strategy ray; identify the light.
+        t2, pid2, hit2 = isect.intersect_ids(
+            scene, p, wi2, jnp.full(bpdf.shape, _EPS),
+            jnp.full(bpdf.shape, 1e30))
+        dg2 = isect.hit_geometry_light(scene, pid2, p, wi2, t2)
+        hit_is_light = hit2 & (dg2["area_light"] == light_id) & \
+            (kind == LIGHT_AREA)
+        Li2 = jnp.where(hit_is_light[..., None],
+                        lt.area_emission(scene, dg2["area_light"],
+                                         dg2["nn"], -wi2),
+                        0.0)
+        # Escaped ray hitting THIS infinite light (transport.cpp:181-188
+        # uses light->Le(ray), per light — summing all env lights here
+        # would double count when several are present).
+        esc = ~hit2 & (kind == LIGHT_INFINITE)
+        Li2 = jnp.where(esc[..., None],
+                        lt.env_radiance(scene, light_id, wi2), Li2)
+        # Area-light pdf from the actual hit: triangle sets and uniform-
+        # area-sampled quadrics (disk/cylinder); spheres keep the analytic
+        # cone pdf.
+        use_hit_pdf = lights.area_geom_kind[light_id] == AREA_GEOM_TRIS
+        if scene.quadrics.count > 0:
+            from ..scene.data import AREA_GEOM_QUADRIC, QUADRIC_SPHERE
+            qid = jnp.clip(lights.area_first[light_id], 0,
+                           scene.quadrics.count - 1)
+            use_hit_pdf = use_hit_pdf | (
+                (lights.area_geom_kind[light_id] == AREA_GEOM_QUADRIC) &
+                (scene.quadrics.kind[qid] != QUADRIC_SPHERE))
+        lpdf_hit = lt.pdf_area_from_hit(scene, light_id, p, wi2,
+                                        dg2["p"], dg2["nn"])
+        lpdf2 = jnp.where(hit_is_light & use_hit_pdf, lpdf_hit, lpdf2)
     ok2 = go & (lpdf2 > 0.0) & ~jnp.all(Li2 == 0.0, axis=-1)
     w2 = mc.power_heuristic(1.0, bpdf, 1.0, lpdf2)
     contrib2 = f2 * Li2 * (vm.absdot(wi2, n) * w2 /

@@ -148,6 +148,17 @@ def render_chunk(scene: SceneData, opts: RenderOptions, film: film_mod.Film,
                                 opts.filter_ywidth)
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("opts",))
+def _render_chunk_jit(scene, film, px, py, s_idx, valid, aux, *,
+                      opts: RenderOptions):
+    """Module-level jit of render_chunk: one trace per (opts, shapes)
+    across all render() calls instead of a fresh closure per call."""
+    return render_chunk(scene, opts, film, px, py, s_idx, valid, aux=aux)
+
+
 def _render_fingerprint(opts: RenderOptions) -> str:
     """Identity of the sample schedule a checkpoint belongs to: resuming
     under a different schedule would silently blend wrong pixels."""
@@ -225,9 +236,8 @@ def render(scene: SceneData, opts: RenderOptions, progress: bool = False,
         aux = ic_mod.build_cache(scene, prm, opts.xres, opts.yres,
                                  opts.seed)
 
-    step = jax.jit(
-        lambda sc, f, px, py, si, v, a: render_chunk(sc, opts, f, px, py,
-                                                     si, v, aux=a))
+    def step(sc, f, pxa, pya, sia, va, aa):
+        return _render_chunk_jit(sc, f, pxa, pya, sia, va, aa, opts=opts)
 
     n_chunks = math.ceil(total / chunk)
     start_chunk = 0
@@ -257,6 +267,11 @@ def render(scene: SceneData, opts: RenderOptions, progress: bool = False,
         film = step(scene, film,
                     jnp.asarray(px, jnp.int32), jnp.asarray(py, jnp.int32),
                     jnp.asarray(s_idx, jnp.int32), jnp.asarray(valid), aux)
+        # Per-chunk sync: chunk programs can hold most of VMEM (packet
+        # traversal keeps the BVH node table resident); letting several
+        # queue up asynchronously makes the TPU runtime reject or kill the
+        # overlap. One sync per 100ms-scale chunk is noise.
+        film.data.block_until_ready()
         if rep is not None:
             rep.update()
         if write_every and (c + 1) % write_every == 0 and c + 1 < n_chunks:
