@@ -49,7 +49,7 @@ def test_wavefront_matches_scan_exactly():
     opts = opts._replace(integrator="path", filter_kind="box",
                          filter_xwidth=0.5, filter_ywidth=0.5,
                          chunk_size=1024)
-    rgb_scan, alpha_scan = R.render(scene, opts)
+    rgb_scan, alpha_scan = R.render(scene, opts._replace(driver="scan"))
     stats = StatsRegistry()
     rgb_wf, alpha_wf = path_wavefront.render(scene, opts, stats=stats)
     assert np.isfinite(rgb_wf).all()
@@ -117,7 +117,7 @@ def test_wavefront_matches_scan_volume_scene():
     opts = opts._replace(integrator="path", filter_kind="box",
                          filter_xwidth=0.5, filter_ywidth=0.5,
                          chunk_size=512)
-    rgb_scan, alpha_scan = R.render(scene, opts)
+    rgb_scan, alpha_scan = R.render(scene, opts._replace(driver="scan"))
     rgb_wf, alpha_wf = path_wavefront.render(scene, opts)
     assert np.isfinite(rgb_wf).all()
     np.testing.assert_allclose(rgb_wf, rgb_scan, atol=3e-4, rtol=3e-4)
@@ -139,3 +139,69 @@ def test_phase_functions_normalize():
         # Integral over sphere = 2*pi * E_{cos~U(-1,1)}[p] * 2.
         est = float(jnp.mean(fn(cos_t))) * 4.0 * np.pi
         assert abs(est - 1.0) < 2e-2, (fn, est)
+
+
+DELTA_INF = """
+Film "image" "integer xresolution" [32] "integer yresolution" [32]
+Camera "perspective" "float fov" [55]
+Sampler "lowdiscrepancy" "integer pixelsamples" [2]
+SurfaceIntegrator "directlighting"
+WorldBegin
+LightSource "infinite" "color L" [0.4 0.5 0.6]
+LightSource "distant" "point from" [3 6 -4] "point to" [0 0 0]
+    "color L" [2 2 2]
+Material "matte" "color Kd" [0.7 0.6 0.5]
+Translate 0 0 3
+Shape "sphere" "float radius" [1000] "float zmin" [-1002] "float zmax" [-998]
+AttributeBegin
+  Material "mirror"
+  Translate 0 -0.3 0
+  Shape "sphere" "float radius" [0.6]
+AttributeEnd
+WorldEnd
+"""
+
+
+@pytest.mark.parametrize("strategy", ["all", "one", "weighted"])
+def test_wavefront_directlighting_matches_scan(strategy):
+    """VERDICT r3 item 2: the single-dispatch regenerating pool must serve
+    directlighting (all strategies) with per-sample parity vs the scan
+    integrator (integrators/directlighting.py)."""
+    scene, opts = load_scene_string(CORNELL)
+    opts = opts._replace(integrator="directlighting", filter_kind="box",
+                         filter_xwidth=0.5, filter_ywidth=0.5,
+                         chunk_size=1024, direct_strategy=strategy)
+    rgb_scan, alpha_scan = R.render(scene, opts._replace(driver="scan"))
+    rgb_wf, alpha_wf = path_wavefront.render(scene, opts)
+    assert np.isfinite(rgb_wf).all()
+    np.testing.assert_allclose(rgb_wf, rgb_scan, atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(alpha_wf, alpha_scan, atol=1e-5)
+
+
+def test_wavefront_directlighting_delta_and_infinite():
+    """Static per-light kind specialization (delta lights skip the
+    BSDF-strategy ray; infinite lights resolve strategy 2 by any-hit) must
+    not change the estimate: wavefront == scan on a distant+infinite
+    scene with a specular chain."""
+    scene, opts = load_scene_string(DELTA_INF)
+    opts = opts._replace(filter_kind="box", filter_xwidth=0.5,
+                         filter_ywidth=0.5, chunk_size=512)
+    rgb_scan, _ = R.render(scene, opts._replace(driver="scan"))
+    rgb_wf, _ = path_wavefront.render(scene, opts)
+    assert np.isfinite(rgb_wf).all()
+    assert float(np.abs(rgb_wf).sum()) > 0.0
+    np.testing.assert_allclose(rgb_wf, rgb_scan, atol=2e-4, rtol=2e-4)
+
+
+def test_wavefront_whitted_matches_scan():
+    """Whitted mode: all-lights no-MIS direct lighting + specular-only
+    continuation with propagated ray differentials."""
+    scene, opts = load_scene_string(CORNELL)
+    opts = opts._replace(integrator="whitted", filter_kind="box",
+                         filter_xwidth=0.5, filter_ywidth=0.5,
+                         chunk_size=1024)
+    rgb_scan, alpha_scan = R.render(scene, opts._replace(driver="scan"))
+    rgb_wf, alpha_wf = path_wavefront.render(scene, opts)
+    assert np.isfinite(rgb_wf).all()
+    np.testing.assert_allclose(rgb_wf, rgb_scan, atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(alpha_wf, alpha_scan, atol=1e-5)

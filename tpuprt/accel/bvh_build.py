@@ -98,24 +98,49 @@ def _split_children(codes, a, b):
     return ranges, axes
 
 
+def _build_native_sah(lo, hi, nq, tri9, p):
+    """Binned-SAH wide-BVH via the native C++ builder
+    (native/csrc/bvh_build8.cpp). Returns (rows, prim_ids, nn) or None
+    (no toolchain / compile failure -> Python LBVH fallback)."""
+    import ctypes
+    from ..native import load
+    lib = load("bvh_build8")
+    if lib is None:
+        return None
+    fn = lib.tpuprt_bvh_build8
+    fn.restype = ctypes.c_int
+    fptr = ctypes.POINTER(ctypes.c_float)
+    iptr = ctypes.POINTER(ctypes.c_int)
+    fn.argtypes = [ctypes.c_int, fptr, fptr, ctypes.c_int, ctypes.c_int,
+                   fptr, ctypes.c_int, fptr, ctypes.c_int, iptr]
+    lo_c = np.ascontiguousarray(lo, np.float32)
+    hi_c = np.ascontiguousarray(hi, np.float32)
+    tri9_c = np.ascontiguousarray(tri9, np.float32)
+    cap = max(p // 2 + 64, 64)
+    while True:
+        rows = np.zeros((cap, ROW_W), np.float32)
+        prim_ids = np.full((cap, LEAF_K), -1, np.int32)
+        nn = fn(p, lo_c.ctypes.data_as(fptr), hi_c.ctypes.data_as(fptr),
+                nq, len(tri9_c), tri9_c.ctypes.data_as(fptr), LEAF_K,
+                rows.ctypes.data_as(fptr), cap,
+                prim_ids.ctypes.data_as(iptr))
+        if nn == -1:
+            cap *= 2
+            continue
+        if nn < 0:
+            return None
+        return rows[:nn], prim_ids[:nn], nn
+
+
 def build_bvh(scene: SceneData) -> BvhAccel:
     lo, hi = _prim_bounds(scene)
     lo = lo.astype(np.float32)
     hi = hi.astype(np.float32)
     p = len(lo)
     nq = scene.quadrics.count
-
-    # Morton order of centroids.
-    c = 0.5 * (lo + hi)
-    cmin = c.min(0)
-    cext = np.maximum(c.max(0) - cmin, 1e-12)
-    q = np.clip(((c - cmin) / cext * ((1 << 21) - 1)), 0,
-                (1 << 21) - 1).astype(np.uint32)
-    order = np.argsort(_morton3(q[:, 0], q[:, 1], q[:, 2]),
-                       kind="stable").astype(np.int32)
-    codes = _morton3(q[order, 0], q[order, 1], q[order, 2])
-    slo = lo[order]
-    shi = hi[order]
+    # Prim ids and node-count fields ride in f32 node rows: ids above 2^24
+    # are unrepresentable there (silent traversal corruption beyond).
+    assert p < (1 << 24), f"{p} prims exceeds the f32-id row format"
 
     # Packed world-space triangle rows for leaf inlining.
     tri = scene.triangles
@@ -126,6 +151,31 @@ def build_bvh(scene: SceneData) -> BvhAccel:
                                verts[idx[:, 2]]], axis=1).astype(np.float32)
     else:
         tri9 = np.zeros((1, 9), np.float32)
+
+    native = _build_native_sah(lo, hi, nq, tri9, p)
+    if native is not None:
+        rows, prim_ids, nn = native
+        assert nn < (1 << 24)
+        import jax
+        dp = jax.device_put
+        pad = 1e-4 * max(np.abs(lo).max(initial=0),
+                         np.abs(hi).max(initial=0)) + 1e-4
+        return BvhAccel(
+            bounds_lo=dp(lo.min(0) - pad), bounds_hi=dp(hi.max(0) + pad),
+            nodes=dp(rows), prim_ids=dp(prim_ids.reshape(-1)),
+            tri9=dp(tri9), n_nodes=nn, leaf_k=LEAF_K, n_quadrics=nq)
+
+    # Python LBVH fallback: Morton order of centroids.
+    c = 0.5 * (lo + hi)
+    cmin = c.min(0)
+    cext = np.maximum(c.max(0) - cmin, 1e-12)
+    q = np.clip(((c - cmin) / cext * ((1 << 21) - 1)), 0,
+                (1 << 21) - 1).astype(np.uint32)
+    order = np.argsort(_morton3(q[:, 0], q[:, 1], q[:, 2]),
+                       kind="stable").astype(np.int32)
+    codes = _morton3(q[order, 0], q[order, 1], q[order, 2])
+    slo = lo[order]
+    shi = hi[order]
 
     # Pass 1: subtree node counts (recursion mirrors pass 2 exactly).
     sys.setrecursionlimit(max(sys.getrecursionlimit(), 10000))

@@ -139,103 +139,224 @@ def specular_ray_differentials(dg, ns, wo, wi, rx_d, ry_d, eta, is_trans):
             ry_o, jnp.where(m, trans_ry, refl_ry))
 
 
+# Light kinds whose Sample_L is a delta distribution (IsDeltaLight,
+# /root/reference/core/light.h:60-65): BSDF-strategy MIS is skipped.
+from ..scene.data import (LIGHT_POINT, LIGHT_SPOT, LIGHT_DISTANT,
+                          LIGHT_PROJECTION, LIGHT_GONIOMETRIC)
+DELTA_KINDS = (LIGHT_POINT, LIGHT_SPOT, LIGHT_DISTANT, LIGHT_PROJECTION,
+               LIGHT_GONIOMETRIC)
+
+
+def batched_visibility(scene: SceneData, segs, needs):
+    """Resolve a list of ray segments, batching them into ONE traversal
+    launch on accelerated scenes (VERDICT r3 item 7: EstimateDirect used
+    to launch up to 3 traversals per bounce; batching the NEE shadow rays
+    and MIS BSDF-strategy rays of every light amortizes the per-launch
+    fixed cost and gives the packet kernel a bigger, sortable ray set).
+
+    segs:  list of (o f32[N,3], d f32[N,3], mint f32[N], maxt f32[N]).
+    needs: list of "any" | "nearest" per segment.
+    Returns per-segment results: (t, pid, hit) for "nearest" segments,
+    occluded booleans for "any" segments.
+
+    Small scenes with no accelerator run per-segment launches at each
+    segment's own mode instead: their unrolled brute-force tester makes
+    any-hit genuinely cheaper than nearest, and launches cost nothing.
+    """
+    fuse = scene.accel is not None and len(segs) > 1
+    if not fuse:
+        out = []
+        for s, nd in zip(segs, needs):
+            if nd == "nearest":
+                out.append(isect.intersect_ids(scene, *s))
+            else:
+                out.append(isect.occluded(scene, *s))
+        return out
+    O = jnp.concatenate([s[0] for s in segs], axis=0)
+    D = jnp.concatenate([s[1] for s in segs], axis=0)
+    MINT = jnp.concatenate([s[2] for s in segs], axis=0)
+    MAXT = jnp.concatenate([s[3] for s in segs], axis=0)
+    out = []
+    ofs = 0
+    if any(nd == "nearest" for nd in needs):
+        t, pid, hit = isect.intersect_ids(scene, O, D, MINT, MAXT)
+        for s, nd in zip(segs, needs):
+            nn = s[0].shape[0]
+            if nd == "nearest":
+                out.append((t[ofs:ofs + nn], pid[ofs:ofs + nn],
+                            hit[ofs:ofs + nn]))
+            else:
+                out.append(hit[ofs:ofs + nn])
+            ofs += nn
+    else:
+        occ = isect.occluded(scene, O, D, MINT, MAXT)
+        for s in segs:
+            nn = s[0].shape[0]
+            out.append(occ[ofs:ofs + nn])
+            ofs += nn
+    return out
+
+
+def estimate_direct_multi(scene: SceneData, specs, p, n, wo,
+                          bsdf: B.BsdfBatch, active):
+    """Sum of EstimateDirect (core/transport.cpp:123-194) over several
+    lights with every visibility + BSDF-strategy ray batched into ONE
+    traversal launch.
+
+    specs: list of dicts with keys
+      light_id i32[N], ls1, ls2, ls3, bs1, bs2, bcs (sampler streams),
+      static_kind: int LIGHT_* when the light's kind is known at trace time
+        (per-light unrolled callers), else None,
+      weight: optional scalar/array factor on this light's contribution.
+    """
+    lights = scene.lights
+    from ..scene.data import LIGHT_AREA as _LA
+    has_area = _LA in (scene.lights.kinds_present or (_LA,))
+    has_vols = scene.volumes is not None and scene.volumes.count > 0
+
+    # ---- Phase 1: sample lights + BSDF, emit ray segments ---------------
+    segs = []          # ray segments, in order
+    needs = []         # per segment: "any" | "nearest"
+    plan = []          # per spec: dict of intermediates + segment indices
+    for sp in specs:
+        light_id = sp["light_id"]
+        sk = sp.get("static_kind")
+        smp = lt.sample(scene, light_id, p, n, sp["ls1"], sp["ls2"],
+                        sp["ls3"])
+        f_val = B.f(bsdf, wo, smp["wi"])
+        rec = dict(sp=sp, smp=smp, f_val=f_val, seg1=len(segs), seg2=-1)
+        segs.append((p, smp["wi"], jnp.full(smp["pdf"].shape, _EPS),
+                     smp["vis_maxt"]))
+        needs.append("any")
+        # Strategy 2 exists only for non-delta lights (transport.cpp:166):
+        # a statically-delta light skips the BSDF sample AND its traversal.
+        if sk is None or sk not in DELTA_KINDS:
+            bs = B.sample_f(bsdf, wo, sp["bs1"], sp["bs2"], sp["bcs"],
+                            B.ALL & ~B.SPECULAR)
+            rec["bs"] = bs
+            rec["seg2"] = len(segs)
+            segs.append((p, bs["wi"], jnp.full(bs["pdf"].shape, _EPS),
+                         jnp.full(bs["pdf"].shape, 1e30)))
+            # Nearest-hit needed only when the strategy-2 ray must identify
+            # an AREA light at its hit; statically-INFINITE lights only
+            # need the escape predicate (transport.cpp:181-188).
+            nearest2 = has_area and (sk is None or sk == LIGHT_AREA)
+            needs.append("nearest" if nearest2 else "any")
+        plan.append(rec)
+
+    vis = batched_visibility(scene, segs, needs)
+
+    # ---- Phase 2: resolve contributions ---------------------------------
+    Ld = jnp.zeros(p.shape[:-1] + (3,), jnp.float32)
+    for rec in plan:
+        sp = rec["sp"]
+        light_id = sp["light_id"]
+        sk = sp.get("static_kind")
+        smp = rec["smp"]
+        kind = lights.kind[light_id] if sk is None else None
+        wi = smp["wi"]
+        light_pdf = smp["pdf"]
+        Li = smp["Li"]
+        f_val = rec["f_val"]
+        usable = active & (light_pdf > 0.0) & ~jnp.all(Li == 0.0, axis=-1)
+        need_vis = usable & ~jnp.all(f_val == 0.0, axis=-1)
+        occ = vis[rec["seg1"]]      # NEE segments always resolve as "any"
+        unocc = need_vis & ~occ
+        if has_vols:
+            from ..volumes import regions as vr
+            Li = Li * vr.transmittance(scene.volumes, p, wi,
+                                       jnp.full(light_pdf.shape, _EPS),
+                                       smp["vis_maxt"], sp["ls3"])
+        bsdf_pdf = B.pdf(bsdf, wo, wi, B.ALL & ~B.SPECULAR)
+        w_mis = jnp.where(smp["delta"], 1.0,
+                          mc.power_heuristic(1.0, light_pdf, 1.0, bsdf_pdf))
+        contrib = f_val * Li * (vm.absdot(wi, n) * w_mis /
+                                jnp.maximum(light_pdf, 1e-20))[..., None]
+        Ldi = jnp.where(unocc[..., None], contrib, 0.0)
+
+        if rec["seg2"] >= 0:
+            bs = rec["bs"]
+            wi2 = bs["wi"]
+            f2 = bs["f"]
+            bpdf = bs["pdf"]
+            non_delta = active & ~smp["delta"]
+            go = non_delta & bs["valid"] & (bpdf > 0.0) & \
+                ~jnp.all(f2 == 0.0, axis=-1)
+            lpdf2 = lt.pdf(scene, light_id, p, n, wi2)
+            v2 = vis[rec["seg2"]]
+            if needs[rec["seg2"]] == "nearest":
+                t2, pid2, hit2 = v2
+                dg2 = isect.hit_geometry_light(scene, pid2, p, wi2, t2)
+                is_area = (kind == LIGHT_AREA) if sk is None \
+                    else (sk == LIGHT_AREA)
+                hit_is_light = hit2 & (dg2["area_light"] == light_id) & \
+                    is_area
+                Li2 = jnp.where(hit_is_light[..., None],
+                                lt.area_emission(scene, dg2["area_light"],
+                                                 dg2["nn"], -wi2),
+                                0.0)
+                # Escaped ray hitting THIS infinite light
+                # (transport.cpp:181-188 uses light->Le(ray) per light —
+                # summing all env lights would double count).
+                is_inf = (kind == LIGHT_INFINITE) if sk is None \
+                    else (sk == LIGHT_INFINITE)
+                esc = ~hit2 & is_inf
+                Li2 = jnp.where(esc[..., None],
+                                lt.env_radiance(scene, light_id, wi2), Li2)
+                # Area-light pdf from the actual hit: triangle sets and
+                # uniform-area-sampled quadrics (disk/cylinder); spheres
+                # keep the analytic cone pdf.
+                use_hit_pdf = lights.area_geom_kind[light_id] == \
+                    AREA_GEOM_TRIS
+                if scene.quadrics.count > 0:
+                    from ..scene.data import (AREA_GEOM_QUADRIC,
+                                              QUADRIC_SPHERE)
+                    qid = jnp.clip(lights.area_first[light_id], 0,
+                                   scene.quadrics.count - 1)
+                    use_hit_pdf = use_hit_pdf | (
+                        (lights.area_geom_kind[light_id] ==
+                         AREA_GEOM_QUADRIC) &
+                        (scene.quadrics.kind[qid] != QUADRIC_SPHERE))
+                lpdf_hit = lt.pdf_area_from_hit(scene, light_id, p, wi2,
+                                                dg2["p"], dg2["nn"])
+                lpdf2 = jnp.where(hit_is_light & use_hit_pdf, lpdf_hit,
+                                  lpdf2)
+            else:
+                # Any-hit resolution: Li2 can only be an INFINITE light's
+                # escape radiance.
+                occ2 = v2
+                is_inf = (kind == LIGHT_INFINITE) if sk is None \
+                    else (sk == LIGHT_INFINITE)
+                esc = ~occ2 & is_inf
+                Li2 = jnp.where(esc[..., None],
+                                lt.env_radiance(scene, light_id, wi2), 0.0)
+            ok2 = go & (lpdf2 > 0.0) & ~jnp.all(Li2 == 0.0, axis=-1)
+            w2 = mc.power_heuristic(1.0, bpdf, 1.0, lpdf2)
+            contrib2 = f2 * Li2 * (vm.absdot(wi2, n) * w2 /
+                                   jnp.maximum(bpdf, 1e-20))[..., None]
+            Ldi = Ldi + jnp.where(ok2[..., None], contrib2, 0.0)
+
+        w = sp.get("weight")
+        if w is not None:
+            Ldi = Ldi * (w[..., None] if getattr(w, "ndim", 0) == 1 else w)
+        Ld = Ld + Ldi
+    return Ld
+
+
 def estimate_direct(scene: SceneData, light_id, p, n, wo, bsdf: B.BsdfBatch,
-                    ls1, ls2, ls3, bs1, bs2, bcs, active):
+                    ls1, ls2, ls3, bs1, bs2, bcs, active,
+                    static_kind=None):
     """EstimateDirect (core/transport.cpp:123-194) for a wavefront.
 
     active: bool[N] — lanes that need the estimate (others return 0).
+    Thin wrapper over estimate_direct_multi (single spec): the NEE shadow
+    ray and the MIS BSDF-strategy ray share one traversal launch.
     """
-    Ld = jnp.zeros(p.shape[:-1] + (3,), jnp.float32)
-    lights = scene.lights
-    kind = lights.kind[light_id]
-
-    # ---- Strategy 1: sample the light ----
-    smp = lt.sample(scene, light_id, p, n, ls1, ls2, ls3)
-    wi = smp["wi"]
-    light_pdf = smp["pdf"]
-    Li = smp["Li"]
-    usable = active & (light_pdf > 0.0) & ~jnp.all(Li == 0.0, axis=-1)
-    f_val = B.f(bsdf, wo, wi)
-    f_black = jnp.all(f_val == 0.0, axis=-1)
-    need_vis = usable & ~f_black
-    from ..scene.data import LIGHT_AREA as _LA
-    has_area = _LA in (scene.lights.kinds_present or (_LA,))
-    occ = isect.occluded(scene, p, wi,
-                         jnp.full(light_pdf.shape, _EPS), smp["vis_maxt"])
-    # Lanes not needing visibility must not pay for a miss: occluded() runs
-    # for the whole wavefront anyway (masked architecture).
-    unocc = need_vis & ~occ
-    # Shadow-segment transmittance (transport.cpp:160 visibility
-    # .Transmittance).
-    if scene.volumes is not None and scene.volumes.count > 0:
-        from ..volumes import regions as vr
-        Li = Li * vr.transmittance(scene.volumes, p, wi,
-                                   jnp.full(light_pdf.shape, _EPS),
-                                   smp["vis_maxt"], ls3)
-    bsdf_pdf = B.pdf(bsdf, wo, wi, B.ALL & ~B.SPECULAR)
-    w_mis = jnp.where(smp["delta"], 1.0,
-                      mc.power_heuristic(1.0, light_pdf, 1.0, bsdf_pdf))
-    contrib = f_val * Li * (vm.absdot(wi, n) * w_mis /
-                            jnp.maximum(light_pdf, 1e-20))[..., None]
-    Ld = Ld + jnp.where(unocc[..., None], contrib, 0.0)
-
-    # ---- Strategy 2: sample the BSDF (non-delta lights only) ----
-    non_delta = active & ~smp["delta"]
-    bs = B.sample_f(bsdf, wo, bs1, bs2, bcs, B.ALL & ~B.SPECULAR)
-    wi2 = bs["wi"]
-    f2 = bs["f"]
-    bpdf = bs["pdf"]
-    go = non_delta & bs["valid"] & (bpdf > 0.0) & ~jnp.all(f2 == 0.0, axis=-1)
-    lpdf2 = lt.pdf(scene, light_id, p, n, wi2)
-    if not has_area:
-        # No area lights: strategy 2 can only collect an INFINITE light's
-        # Le on escape (transport.cpp:181-188), so an any-hit test decides
-        # everything — a nearest-hit traversal + hit geometry would be
-        # pure waste (the BSDF-strategy ray is one of the two hottest
-        # traversals of a direct-lighting pass).
-        occ2 = isect.occluded(scene, p, wi2, jnp.full(bpdf.shape, _EPS),
-                              jnp.full(bpdf.shape, 1e30))
-        esc = ~occ2 & (kind == LIGHT_INFINITE)
-        Li2 = jnp.where(esc[..., None],
-                        lt.env_radiance(scene, light_id, wi2), 0.0)
-    else:
-        # Trace the BSDF-strategy ray; identify the light.
-        t2, pid2, hit2 = isect.intersect_ids(
-            scene, p, wi2, jnp.full(bpdf.shape, _EPS),
-            jnp.full(bpdf.shape, 1e30))
-        dg2 = isect.hit_geometry_light(scene, pid2, p, wi2, t2)
-        hit_is_light = hit2 & (dg2["area_light"] == light_id) & \
-            (kind == LIGHT_AREA)
-        Li2 = jnp.where(hit_is_light[..., None],
-                        lt.area_emission(scene, dg2["area_light"],
-                                         dg2["nn"], -wi2),
-                        0.0)
-        # Escaped ray hitting THIS infinite light (transport.cpp:181-188
-        # uses light->Le(ray), per light — summing all env lights here
-        # would double count when several are present).
-        esc = ~hit2 & (kind == LIGHT_INFINITE)
-        Li2 = jnp.where(esc[..., None],
-                        lt.env_radiance(scene, light_id, wi2), Li2)
-        # Area-light pdf from the actual hit: triangle sets and uniform-
-        # area-sampled quadrics (disk/cylinder); spheres keep the analytic
-        # cone pdf.
-        use_hit_pdf = lights.area_geom_kind[light_id] == AREA_GEOM_TRIS
-        if scene.quadrics.count > 0:
-            from ..scene.data import AREA_GEOM_QUADRIC, QUADRIC_SPHERE
-            qid = jnp.clip(lights.area_first[light_id], 0,
-                           scene.quadrics.count - 1)
-            use_hit_pdf = use_hit_pdf | (
-                (lights.area_geom_kind[light_id] == AREA_GEOM_QUADRIC) &
-                (scene.quadrics.kind[qid] != QUADRIC_SPHERE))
-        lpdf_hit = lt.pdf_area_from_hit(scene, light_id, p, wi2,
-                                        dg2["p"], dg2["nn"])
-        lpdf2 = jnp.where(hit_is_light & use_hit_pdf, lpdf_hit, lpdf2)
-    ok2 = go & (lpdf2 > 0.0) & ~jnp.all(Li2 == 0.0, axis=-1)
-    w2 = mc.power_heuristic(1.0, bpdf, 1.0, lpdf2)
-    contrib2 = f2 * Li2 * (vm.absdot(wi2, n) * w2 /
-                           jnp.maximum(bpdf, 1e-20))[..., None]
-    Ld = Ld + jnp.where(ok2[..., None], contrib2, 0.0)
-    return Ld
+    return estimate_direct_multi(
+        scene,
+        [dict(light_id=light_id, ls1=ls1, ls2=ls2, ls3=ls3, bs1=bs1,
+              bs2=bs2, bcs=bcs, static_kind=static_kind)],
+        p, n, wo, bsdf, active)
 
 
 def uniform_sample_one_light(scene: SceneData, p, n, wo, bsdf, u_num,
@@ -252,14 +373,20 @@ def uniform_sample_one_light(scene: SceneData, p, n, wo, bsdf, u_num,
 def uniform_sample_all_lights(scene: SceneData, p, n, wo, bsdf, sample_fn,
                               active):
     """UniformSampleAllLights (core/transport.cpp:31-50) with 1 sample per
-    light; sample_fn(i, purpose) -> per-lane uniforms for light i."""
-    L = jnp.zeros(p.shape[:-1] + (3,), jnp.float32)
+    light; sample_fn(i, purpose) -> per-lane uniforms for light i. Every
+    light's rays share one traversal launch; each light's kind is known
+    statically (kinds_list), so delta lights cost no BSDF-strategy ray."""
+    specs = []
+    kl = scene.lights.kinds_list
     for i in range(scene.lights.count):
         lid = jnp.full(p.shape[:-1], i, jnp.int32)
         ls1, ls2 = sample_fn(i, 0)
         ls3 = sample_fn(i, 1)[0]
         bs1, bs2 = sample_fn(i, 2)
         bcs = sample_fn(i, 3)[0]
-        L = L + estimate_direct(scene, lid, p, n, wo, bsdf,
-                                ls1, ls2, ls3, bs1, bs2, bcs, active)
-    return L
+        specs.append(dict(light_id=lid, ls1=ls1, ls2=ls2, ls3=ls3,
+                          bs1=bs1, bs2=bs2, bcs=bcs,
+                          static_kind=kl[i] if kl else None))
+    if not specs:
+        return jnp.zeros(p.shape[:-1] + (3,), jnp.float32)
+    return estimate_direct_multi(scene, specs, p, n, wo, bsdf, active)

@@ -71,7 +71,10 @@ def li(scene: SceneData, o, d, mint, maxt, cfg: smp.SamplerConfig,
                 # Per-light sampler streams (directlighting.cpp:39-66 fills
                 # LD/stratified integrator sample arrays per light; raw hash
                 # uniforms here would forfeit the sampler's stratification).
-                Ld = jnp.zeros((n_rays, 3), jnp.float32)
+                # All lights' rays share one traversal launch; static kinds
+                # let delta lights skip the BSDF-strategy ray.
+                kl = scene.lights.kinds_list
+                specs = []
                 for i in range(scene.lights.count):
                     lid = jnp.full((n_rays,), i, jnp.int32)
                     l1, l2 = smp.integrator_2d(cfg, px, py, s_idx, depth,
@@ -80,9 +83,11 @@ def li(scene: SceneData, o, d, mint, maxt, cfg: smp.SamplerConfig,
                                                101 + 4 * i, seed)
                     bc = smp.integrator_1d(cfg, px, py, s_idx, depth,
                                            102 + 4 * i, seed)
-                    Ld = Ld + common.estimate_direct(
-                        scene, lid, p, ns, wo, bsdf, l1, l2, ls3, b1, b2, bc,
-                        alive)
+                    specs.append(dict(light_id=lid, ls1=l1, ls2=l2, ls3=ls3,
+                                      bs1=b1, bs2=b2, bcs=bc,
+                                      static_kind=kl[i] if kl else None))
+                Ld = common.estimate_direct_multi(scene, specs, p, ns, wo,
+                                                  bsdf, alive)
             elif strategy == "weighted":
                 u_num = smp.integrator_1d(cfg, px, py, s_idx, depth, 10, seed)
                 lid, pmf = mc.distribution1d_sample_discrete(

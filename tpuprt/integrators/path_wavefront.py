@@ -102,19 +102,106 @@ def _regen(scene: SceneData, cfg, lin, seed, xres, yres, xstart, xcount,
                 rx_o=o_rx, rx_d=d_rx, ry_o=o_ry, ry_d=d_ry)
 
 
+def _direct_ld(scene, cfg, strategy, p, ns, wo, bsdf, ph, px, py, s_idx,
+               bounce, seed, alive):
+    """Direct lighting for directlighting mode — streams replicate
+    integrators/directlighting.py exactly (depth == bounce)."""
+    from ..core import mc, spectrum as spec
+    n_rays = p.shape[0]
+    ls1, ls2 = smp.integrator_2d(cfg, px, py, s_idx, bounce, 11, seed)
+    bs1, bs2 = smp.integrator_2d(cfg, px, py, s_idx, bounce, 12, seed)
+    bcs = smp.integrator_1d(cfg, px, py, s_idx, bounce, 13, seed)
+    ls3 = rng.uniform(ph, s_idx, bounce, 16)
+    if strategy == "all":
+        kl = scene.lights.kinds_list
+        specs = []
+        for i in range(scene.lights.count):
+            lid = jnp.full((n_rays,), i, jnp.int32)
+            l1, l2 = smp.integrator_2d(cfg, px, py, s_idx, bounce,
+                                       100 + 4 * i, seed)
+            b1, b2 = smp.integrator_2d(cfg, px, py, s_idx, bounce,
+                                       101 + 4 * i, seed)
+            bc = smp.integrator_1d(cfg, px, py, s_idx, bounce,
+                                   102 + 4 * i, seed)
+            specs.append(dict(light_id=lid, ls1=l1, ls2=l2, ls3=ls3,
+                              bs1=b1, bs2=b2, bcs=bc,
+                              static_kind=kl[i] if kl else None))
+        return common.estimate_direct_multi(scene, specs, p, ns, wo, bsdf,
+                                            alive)
+    if strategy == "weighted":
+        pw = spec.luminance(lt.power(scene))
+        sel_func, sel_cdf, sel_int = mc.distribution1d_build(pw)
+        u_num = smp.integrator_1d(cfg, px, py, s_idx, bounce, 10, seed)
+        lid, pmf = mc.distribution1d_sample_discrete(
+            sel_func, sel_cdf, sel_int, u_num)
+        return common.estimate_direct(
+            scene, lid, p, ns, wo, bsdf, ls1, ls2, ls3, bs1, bs2, bcs,
+            alive) / jnp.maximum(pmf, 1e-12)[..., None]
+    # "one"
+    u_num = smp.integrator_1d(cfg, px, py, s_idx, bounce, 10, seed)
+    return common.uniform_sample_one_light(
+        scene, p, ns, wo, bsdf, u_num, ls1, ls2, ls3, bs1, bs2, bcs, alive)
+
+
+def _whitted_ld(scene, p, ns, wo, bsdf, ph, s_idx, bounce, alive):
+    """Whitted direct lighting: every light, single sample, NO MIS
+    (whitted.cpp:74-81); streams replicate integrators/whitted.py. All
+    lights' shadow rays share one any-hit traversal launch."""
+    n_rays = p.shape[0]
+    samples = []
+    segs = []
+    for i in range(scene.lights.count):
+        lid = jnp.full((n_rays,), i, jnp.int32)
+        ls1 = rng.uniform(ph, s_idx, bounce, i, 1)
+        ls2 = rng.uniform(ph, s_idx, bounce, i, 2)
+        ls3 = rng.uniform(ph, s_idx, bounce, i, 3)
+        sm = lt.sample(scene, lid, p, ns, ls1, ls2, ls3)
+        f_val = B.f(bsdf, wo, sm["wi"])
+        samples.append((sm, f_val))
+        segs.append((p, sm["wi"], jnp.full((n_rays,), _EPS),
+                     sm["vis_maxt"]))
+    if not segs:
+        return jnp.zeros_like(p)
+    vis = common.batched_visibility(scene, segs, ["any"] * len(segs))
+    Ld = jnp.zeros_like(p)
+    for (sm, f_val), occ in zip(samples, vis):
+        ok = alive & (sm["pdf"] > 0.0) & ~jnp.all(sm["Li"] == 0.0, axis=-1)
+        need = ok & ~jnp.all(f_val == 0.0, axis=-1)
+        contrib = f_val * sm["Li"] * \
+            (vm.absdot(sm["wi"], ns) /
+             jnp.maximum(sm["pdf"], 1e-20))[..., None]
+        Ld = Ld + jnp.where((need & ~occ)[..., None], contrib, 0.0)
+    return Ld
+
+
 def _step(scene: SceneData, film, st, cursor, cfg, seed, max_depth,
           rr_start, total, xres, yres, xstart, xcount, ystart, spp,
           filter_kind, filter_xwidth, filter_ywidth,
-          vol_integrator="emission"):
+          vol_integrator="emission", mode="path", strategy="all"):
     """One wavefront pass: bounce every live lane once, splat + regenerate
-    finished lanes. Returns (film, state, cursor, n_alive, n_active)."""
+    finished lanes. Returns (film, state, cursor, n_alive, n_active).
+
+    mode selects the integrator semantics (all share the regenerating-pool
+    drive; VERDICT r3 item 2):
+      "path"            path.cpp:58-145 (MIS one-light NEE, RR, full BSDF
+                        continuation) — the original wavefront.
+      "directlighting"  directlighting.cpp (strategy all/one/weighted,
+                        specular-only continuation, no RR).
+      "whitted"         whitted.cpp:44-140 (all lights, single sample, no
+                        MIS, specular-only continuation with propagated
+                        ray differentials).
+    Random streams replicate the matching scan integrator exactly, so
+    wavefront == scan holds per sample for every mode.
+    """
     alive = st["alive"]
     px, py, s_idx, bounce = st["px"], st["py"], st["s_idx"], st["bounce"]
     ro, rd = st["o"], st["d"]
     throughput, L = st["throughput"], st["L"]
     specular, alpha = st["specular"], st["alpha"]
     first = bounce == 0
-    ph = rng.hash_u32(px, py, seed, 0xBA5E)
+    salt = {"path": 0xBA5E, "directlighting": 0xD112,
+            "whitted": 0x817}[mode]
+    ph = rng.hash_u32(px, py, seed, salt)
     has_inf = bool(scene.lights.infinite_meta)
     has_lights = scene.lights.count > 0
     has_vols = scene.volumes is not None and scene.volumes.count > 0
@@ -127,18 +214,26 @@ def _step(scene: SceneData, film, st, cursor, cfg, seed, max_depth,
         # (same streams, so wavefront == scan holds on volume scenes):
         # bounce-0 segments realize the driver's L = T*Lo + Lv
         # (core/scene.cpp:120-126; T multiplies throughput BEFORE any
-        # radiance is accumulated, Lv adds un-attenuated once); bounce>0
-        # segments get path.cpp:89's per-segment transmittance.
+        # radiance is accumulated, Lv adds un-attenuated once); in path
+        # mode bounce>0 segments also get path.cpp:89's per-segment
+        # transmittance (the scan dl/whitted drivers attenuate only the
+        # camera segment, so those modes match that).
         from ..volumes import regions as vr
         from . import volume as vol_integ
         ph_cam = rng.hash_u32(px, py, seed, 0xF0)
         seg_end = jnp.where(hit, t, st["maxt"])
         u_cam = rng.uniform(ph_cam, s_idx, 0x7A)
-        u_seg = rng.uniform(ph, s_idx, bounce, 0x77)
-        tr = vr.transmittance(scene.volumes, ro, rd, st["mint"], seg_end,
-                              jnp.where(first, u_cam, u_seg))
-        throughput = jnp.where(alive[..., None], throughput * tr,
-                               throughput)
+        if mode == "path":
+            u_seg = rng.uniform(ph, s_idx, bounce, 0x77)
+            tr = vr.transmittance(scene.volumes, ro, rd, st["mint"],
+                                  seg_end, jnp.where(first, u_cam, u_seg))
+            throughput = jnp.where(alive[..., None], throughput * tr,
+                                   throughput)
+        else:
+            tr = vr.transmittance(scene.volumes, ro, rd, st["mint"],
+                                  seg_end, u_cam)
+            throughput = jnp.where((first & alive)[..., None],
+                                   throughput * tr, throughput)
         if vol_integrator == "single":
             Lv = vol_integ.li_single(scene, ro, rd, st["mint"], seg_end,
                                      ph_cam, s_idx, seed)
@@ -148,7 +243,13 @@ def _step(scene: SceneData, film, st, cursor, cfg, seed, max_depth,
         L = L + jnp.where((first & alive)[..., None], Lv, 0.0)
 
     if has_inf:
-        take_le = ~hit & alive & (first | specular)
+        if mode == "path":
+            take_le = ~hit & alive & (first | specular)
+        else:
+            # dl/whitted scan drivers add escape Le on every miss of a live
+            # lane (their continuations are specular-only, so this is the
+            # same set — but keep the literal condition for parity).
+            take_le = ~hit & alive
         Lesc = lt.le_escaped(scene, rd)
         L = L + jnp.where(take_le[..., None], throughput * Lesc, 0.0)
         alpha = jnp.where(take_le & first & jnp.any(Lesc > 0, -1), 1.0,
@@ -160,11 +261,12 @@ def _step(scene: SceneData, film, st, cursor, cfg, seed, max_depth,
     n_shadow = jnp.sum(alive.astype(jnp.float32))
 
     dg = isect.hit_geometry(scene, pid, ro, rd, t)
+    diff_ok = alive if mode == "whitted" else (first & alive)
     dg = isect.compute_differentials(dg, st["rx_o"], st["rx_d"],
-                                     st["ry_o"], st["ry_d"], first & alive)
+                                     st["ry_o"], st["ry_d"], diff_ok)
 
     if has_lights:
-        emit_ok = alive & (first | specular)
+        emit_ok = alive & (first | specular) if mode == "path" else alive
         Le = lt.area_emission(scene, dg["area_light"], dg["nn"], -rd)
         L = L + jnp.where(emit_ok[..., None], throughput * Le, 0.0)
 
@@ -173,33 +275,65 @@ def _step(scene: SceneData, film, st, cursor, cfg, seed, max_depth,
     wo = -rd
 
     if has_lights:
-        u_num = smp.integrator_1d(cfg, px, py, s_idx, bounce, 10, seed)
-        ls1, ls2 = smp.integrator_2d(cfg, px, py, s_idx, bounce, 11, seed)
-        bs1, bs2 = smp.integrator_2d(cfg, px, py, s_idx, bounce, 12, seed)
-        bcs = smp.integrator_1d(cfg, px, py, s_idx, bounce, 13, seed)
-        ls3 = rng.uniform(ph, s_idx, bounce, 16)
-        Ld = common.uniform_sample_one_light(
-            scene, p, ns, wo, bsdf, u_num, ls1, ls2, ls3, bs1, bs2, bcs,
-            alive)
+        if mode == "path":
+            u_num = smp.integrator_1d(cfg, px, py, s_idx, bounce, 10, seed)
+            ls1, ls2 = smp.integrator_2d(cfg, px, py, s_idx, bounce, 11,
+                                         seed)
+            bs1, bs2 = smp.integrator_2d(cfg, px, py, s_idx, bounce, 12,
+                                         seed)
+            bcs = smp.integrator_1d(cfg, px, py, s_idx, bounce, 13, seed)
+            ls3 = rng.uniform(ph, s_idx, bounce, 16)
+            Ld = common.uniform_sample_one_light(
+                scene, p, ns, wo, bsdf, u_num, ls1, ls2, ls3, bs1, bs2,
+                bcs, alive)
+        elif mode == "directlighting":
+            Ld = _direct_ld(scene, cfg, strategy, p, ns, wo, bsdf, ph,
+                            px, py, s_idx, bounce, seed, alive)
+        else:  # whitted: every light, single sample, NO MIS
+            Ld = _whitted_ld(scene, p, ns, wo, bsdf, ph, s_idx, bounce,
+                             alive)
         L = L + jnp.where(alive[..., None], throughput * Ld, 0.0)
 
-    c1, c2 = smp.integrator_2d(cfg, px, py, s_idx, bounce, 20, seed)
-    c3 = smp.integrator_1d(cfg, px, py, s_idx, bounce, 21, seed)
-    bs = B.sample_f(bsdf, wo, c1, c2, c3, B.ALL)
+    if mode == "path":
+        c1, c2 = smp.integrator_2d(cfg, px, py, s_idx, bounce, 20, seed)
+        c3 = smp.integrator_1d(cfg, px, py, s_idx, bounce, 21, seed)
+        bs = B.sample_f(bsdf, wo, c1, c2, c3, B.ALL)
+    else:
+        c1 = rng.uniform(ph, s_idx, bounce, 0x5A, 1)
+        c2 = rng.uniform(ph, s_idx, bounce, 0x5A, 2)
+        c3 = rng.uniform(ph, s_idx, bounce, 0x5A, 3)
+        bs = B.sample_f(bsdf, wo, c1, c2, c3,
+                        B.SPECULAR | B.REFLECTION | B.TRANSMISSION)
     cont = alive & bs["valid"] & (bs["pdf"] > 0.0) & \
         ~jnp.all(bs["f"] == 0.0, axis=-1) & (bounce < max_depth)
     scale = bs["f"] * (vm.absdot(bs["wi"], ns) /
                        jnp.maximum(bs["pdf"], 1e-20))[..., None]
     throughput = jnp.where(cont[..., None], throughput * scale, throughput)
     specular = jnp.where(cont, bs["specular"], specular)
+
+    # Whitted propagates specular ray differentials across bounces
+    # (whitted.cpp:88-136) so EWA filtering keeps a footprint through
+    # mirrors/glass; path/dl only use the camera pair at the first hit.
+    rx_o, rx_d = st["rx_o"], st["rx_d"]
+    ry_o, ry_d = st["ry_o"], st["ry_d"]
+    if mode == "whitted":
+        is_trans = jnp.bitwise_and(bs["flags"], B.TRANSMISSION) > 0
+        nrxo, nrxd, nryo, nryd = common.specular_ray_differentials(
+            dg, ns, wo, bs["wi"], rx_d, ry_d, bs["eta"], is_trans)
+        m = cont[..., None]
+        rx_o = jnp.where(m, nrxo, rx_o)
+        rx_d = jnp.where(m, nrxd, rx_d)
+        ry_o = jnp.where(m, nryo, ry_o)
+        ry_d = jnp.where(m, nryd, ry_d)
     alive = cont
 
-    u_rr = rng.uniform(ph, s_idx, bounce, 30)
-    do_rr = bounce >= rr_start
-    survive = ~do_rr | (u_rr < 0.5)
-    alive = alive & survive
-    throughput = jnp.where((alive & do_rr)[..., None], throughput / 0.5,
-                           throughput)
+    if mode == "path":
+        u_rr = rng.uniform(ph, s_idx, bounce, 30)
+        do_rr = bounce >= rr_start
+        survive = ~do_rr | (u_rr < 0.5)
+        alive = alive & survive
+        throughput = jnp.where((alive & do_rr)[..., None],
+                               throughput / 0.5, throughput)
 
     ro = p
     rd = bs["wi"]
@@ -240,10 +374,10 @@ def _step(scene: SceneData, film, st, cursor, cfg, seed, max_depth,
         o=sel(fresh["o"], ro), d=sel(fresh["d"], rd),
         mint=sel(fresh["mint"], jnp.full_like(st["mint"], _EPS)),
         maxt=sel(fresh["maxt"], jnp.full_like(st["maxt"], 1e30)),
-        rx_o=sel(fresh["rx_o"], st["rx_o"]),
-        rx_d=sel(fresh["rx_d"], st["rx_d"]),
-        ry_o=sel(fresh["ry_o"], st["ry_o"]),
-        ry_d=sel(fresh["ry_d"], st["ry_d"]),
+        rx_o=sel(fresh["rx_o"], rx_o),
+        rx_d=sel(fresh["rx_d"], rx_d),
+        ry_o=sel(fresh["ry_o"], ry_o),
+        ry_d=sel(fresh["ry_d"], ry_d),
         throughput=sel(jnp.ones_like(throughput), throughput),
         L=sel(jnp.zeros_like(L), L),
         alpha=jnp.where(regen, 0.0, alpha),
@@ -267,16 +401,17 @@ INNER = 8
          static_argnames=("cfg", "seed", "max_depth", "total", "xres",
                           "yres", "xstart", "xcount", "ystart", "spp",
                           "filter_kind", "filter_xwidth", "filter_ywidth",
-                          "vol_integrator"))
+                          "vol_integrator", "mode", "strategy"))
 def _jstep(scene, film, st, cursor, *, cfg, seed, max_depth, total, xres,
            yres, xstart, xcount, ystart, spp, filter_kind, filter_xwidth,
-           filter_ywidth, vol_integrator="emission"):
+           filter_ywidth, vol_integrator="emission", mode="path",
+           strategy="all"):
     def body(carry, _):
         film_c, st_c, cur_c = carry
         film_c, st_c, cur_c, n_alive, n_active, n_shadow = _step(
             scene, film_c, st_c, cur_c, cfg, seed, max_depth, 3, total,
             xres, yres, xstart, xcount, ystart, spp, filter_kind,
-            filter_xwidth, filter_ywidth, vol_integrator)
+            filter_xwidth, filter_ywidth, vol_integrator, mode, strategy)
         return (film_c, st_c, cur_c), (n_alive, n_active, n_shadow)
     (film, st, cursor), (n_alive, n_active, n_shadow) = jax.lax.scan(
         body, (film, st, cursor), None, length=INNER)
@@ -288,10 +423,12 @@ def _jstep(scene, film, st, cursor, *, cfg, seed, max_depth, total, xres,
          static_argnames=("cfg", "seed", "max_depth", "total", "xres",
                           "yres", "xstart", "xcount", "ystart", "spp",
                           "filter_kind", "filter_xwidth", "filter_ywidth",
-                          "pass_limit", "vol_integrator"))
+                          "pass_limit", "vol_integrator", "mode",
+                          "strategy"))
 def _jrun(scene, film, st, cursor, *, cfg, seed, max_depth, total, xres,
           yres, xstart, xcount, ystart, spp, filter_kind, filter_xwidth,
-          filter_ywidth, pass_limit, vol_integrator="emission"):
+          filter_ywidth, pass_limit, vol_integrator="emission",
+          mode="path", strategy="all"):
     """The entire wavefront drive as ONE device-side while_loop dispatch.
 
     The host-chunked driver costs a device->host scalar read per INNER
@@ -313,7 +450,7 @@ def _jrun(scene, film, st, cursor, *, cfg, seed, max_depth, total, xres,
         film_c, st_c, cur_c, _n_alive, n_active, n_shadow = _step(
             scene, film_c, st_c, cur_c, cfg, seed, max_depth, 3, total,
             xres, yres, xstart, xcount, ystart, spp, filter_kind,
-            filter_xwidth, filter_ywidth, vol_integrator)
+            filter_xwidth, filter_ywidth, vol_integrator, mode, strategy)
         stats_c = stats_c + jnp.stack(
             [n_active, n_shadow, (n_active > 0).astype(n_active.dtype)])
         return (film_c, st_c, cur_c, stats_c, npass + 1)
@@ -351,8 +488,12 @@ _develop = jax.jit(film_mod.develop)
 
 
 def render(scene: SceneData, opts, progress: bool = False, stats=None):
-    """Full-frame wavefront render (path integrator only). Returns
-    (rgb, alpha) like render.render."""
+    """Full-frame wavefront render (path, directlighting, or whitted per
+    opts.integrator). Returns (rgb, alpha) like render.render."""
+    if opts.integrator not in ("path", "directlighting", "whitted"):
+        raise ValueError(
+            f"wavefront driver supports path/directlighting/whitted, not "
+            f"{opts.integrator}")
     film = film_mod.make_film(opts.xres, opts.yres, opts.crop)
     xstart, xcount, ystart, ycount = film_mod.pixel_extent(film)
     spp = smp.samples_per_pixel(opts.sampler)
@@ -370,7 +511,9 @@ def render(scene: SceneData, opts, progress: bool = False, stats=None):
                    filter_kind=opts.filter_kind,
                    filter_xwidth=opts.filter_xwidth,
                    filter_ywidth=opts.filter_ywidth,
-                   vol_integrator=opts.volume_integrator)
+                   vol_integrator=opts.volume_integrator,
+                   mode=opts.integrator,
+                   strategy=getattr(opts, "direct_strategy", "all"))
 
     def jstep(film, st, cursor):
         return _jstep(scene, film, st, cursor, **step_kw)

@@ -28,35 +28,66 @@ import jax
 import jax.numpy as jnp
 
 _BIG = 1e30
-RAY_TILE = 256
+# Rays per packet. The packet's per-visit vector math runs on arrays of
+# shape (RAY_TILE//128, 128): the original 256-ray packet computed on
+# (1,256) vectors — 1/8 of the VPU's sublanes; at 1024+ every f32
+# quantity is whole (8,128) vregs, so each visit serves 4-8x the rays at
+# the same vreg-op count. The union-of-node-sets penalty of bigger
+# packets stays sublinear on sorted rays; A/B on config4_big:
+# 256->1.55s, 1024->1.10s, 2048->0.97s, 4096->1.06s full-render.
+# Constraint: RAY_TILE//128 must be a multiple of 8 (Mosaic's
+# (1,N)->(sub,128) reshape requires whole vregs; 512 fails to lower).
+RAY_TILE = 2048
 
 
-def _kernel(nodes_ref, rays_ref, t_ref, id_ref, *, nn: int, leaf_k: int,
-            any_hit: bool):
-    from jax.experimental import pallas as pl
+def _ray_regs(rays_ref, tile):
+    """Unpack the (8, tile) ray block into full-sublane (tile//128, 128)
+    component tiles + precomputed safe inverse directions."""
+    sub = tile // 128
+    r = rays_ref[:]                           # (8, tile)
 
-    r = rays_ref[:]                           # (8, RT)
-    ox, oy, oz = r[0:1, :], r[1:2, :], r[2:3, :]
-    dx, dy, dz = r[3:4, :], r[4:5, :], r[5:6, :]
-    mint, maxt = r[6:7, :], r[7:8, :]
+    def comp(i):
+        # (1, tile) -> (sub, 128): ray j of the packet sits at
+        # [j // 128, j % 128] — full-sublane VPU tiles.
+        return r[i:i + 1, :].reshape(sub, 128)
+
+    ox, oy, oz = comp(0), comp(1), comp(2)
+    dx, dy, dz = comp(3), comp(4), comp(5)
+    mint, maxt = comp(6), comp(7)
 
     def safe_inv(v):
         tiny = jnp.where(v < 0, -1e-12, 1e-12)
         return 1.0 / jnp.where(jnp.abs(v) < 1e-12, tiny, v)
 
-    ix, iy, iz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
+    return dict(o=(ox, oy, oz), d=(dx, dy, dz), mint=mint, maxt=maxt,
+                inv=(safe_inv(dx), safe_inv(dy), safe_inv(dz)))
+
+
+def _walk_range(nodes_ref, regs, start, stop, base, best_t, best_id, *,
+                leaf_k: int, any_hit: bool):
+    """Skip-link walk of preorder node ids in [start, stop), with rows
+    stored at nodes_ref[node - base]. The walk's cursor is monotonically
+    increasing (node' = node+1 or skip > node), which is what makes
+    arbitrary contiguous range chunking correct: every leaf in the range
+    is visited or pruned by a failed ancestor bbox test, independent of
+    how the tree is cut (see traverse_chunked)."""
+    from jax.experimental import pallas as pl
+    ox, oy, oz = regs["o"]
+    dx, dy, dz = regs["d"]
+    ix, iy, iz = regs["inv"]
+    mint, maxt = regs["mint"], regs["maxt"]
 
     def cond(c):
         node, best_t, best_id = c
-        go = node < nn
+        go = node < stop
         if any_hit:
             go = go & jnp.any(best_id < 0)
         return go
 
     def body(c):
         node, best_t, best_id = c
-        row = nodes_ref[pl.ds(node, 1), :]    # (1, 128)
-        rv = row.reshape(-1)                  # (128,)
+        row = nodes_ref[pl.ds(node - base, 1), :]    # (1, 128)
+        rv = row.reshape(-1)                          # (128,)
         lox, loy, loz = rv[0], rv[1], rv[2]
         hix, hiy, hiz = rv[3], rv[4], rv[5]
         skip = rv[6].astype(jnp.int32)
@@ -86,10 +117,10 @@ def _kernel(nodes_ref, rays_ref, t_ref, id_ref, *, nn: int, leaf_k: int,
         def leaf_fn(args):
             bt, bi = args
             for j in range(leaf_k):
-                base = 8 + 9 * j
-                p0x, p0y, p0z = rv[base], rv[base + 1], rv[base + 2]
-                p1x, p1y, p1z = rv[base + 3], rv[base + 4], rv[base + 5]
-                p2x, p2y, p2z = rv[base + 6], rv[base + 7], rv[base + 8]
+                bj = 8 + 9 * j
+                p0x, p0y, p0z = rv[bj], rv[bj + 1], rv[bj + 2]
+                p1x, p1y, p1z = rv[bj + 3], rv[bj + 4], rv[bj + 5]
+                p2x, p2y, p2z = rv[bj + 6], rv[bj + 7], rv[bj + 8]
                 pid = rv[80 + j].astype(jnp.int32)
                 e1x, e1y, e1z = p1x - p0x, p1y - p0y, p1z - p0z
                 e2x, e2y, e2z = p2x - p0x, p2y - p0y, p2z - p0z
@@ -122,11 +153,79 @@ def _kernel(nodes_ref, rays_ref, t_ref, id_ref, *, nn: int, leaf_k: int,
         node = jnp.where(any_ray & ~is_leaf, node + 1, skip)
         return node, best_t, best_id
 
-    init = (jnp.int32(0), jnp.full(mint.shape, _BIG, jnp.float32),
-            jnp.full(mint.shape, -1, jnp.int32))
-    _, best_t, best_id = jax.lax.while_loop(cond, body, init)
-    t_ref[:] = best_t
-    id_ref[:] = best_id
+    _, best_t, best_id = jax.lax.while_loop(cond, body,
+                                            (start, best_t, best_id))
+    return best_t, best_id
+
+
+def _kernel(nodes_ref, rays_ref, t_ref, id_ref, *, nn: int, leaf_k: int,
+            any_hit: bool, tile: int):
+    regs = _ray_regs(rays_ref, tile)
+    init_t = jnp.full(regs["mint"].shape, _BIG, jnp.float32)
+    init_id = jnp.full(regs["mint"].shape, -1, jnp.int32)
+    best_t, best_id = _walk_range(nodes_ref, regs, jnp.int32(0), nn,
+                                  jnp.int32(0), init_t, init_id,
+                                  leaf_k=leaf_k, any_hit=any_hit)
+    t_ref[:] = best_t.reshape(1, tile)
+    id_ref[:] = best_id.reshape(1, tile)
+
+
+def _kernel_chunked(cb_ref, nodes_ref, rays_ref, t_ref, id_ref, *,
+                    nn: int, cap: int, leaf_k: int, any_hit: bool,
+                    tile: int):
+    """One (ray-group, chunk) grid step of the streamed traversal: the
+    node table lives in HBM; the pipeline DMAs chunk c's (cap, 128) block
+    into VMEM while chunk c-1 computes (Pallas auto double-buffering).
+    best_t/best_id persist in the output block across the chunk dimension
+    (out index_map ignores it). cb_ref: f32[n_chunks_pad, 8] per-chunk
+    bbox (lo, hi, pad2) — a failed packet-vs-chunk-bbox test skips the
+    whole chunk walk."""
+    from jax.experimental import pallas as pl
+    c = pl.program_id(1)
+    lo_c = c * cap
+    hi_c = jnp.minimum(jnp.int32(nn), lo_c + cap)
+    regs = _ray_regs(rays_ref, tile)
+
+    @pl.when(c == 0)
+    def _():
+        t_ref[:] = jnp.full((1, tile), _BIG, jnp.float32)
+        id_ref[:] = jnp.full((1, tile), -1, jnp.int32)
+
+    sub = tile // 128
+    best_t = t_ref[:].reshape(sub, 128)
+    best_id = id_ref[:].reshape(sub, 128)
+
+    # Chunk bbox precheck against every ray's current window.
+    cb = cb_ref[c, :]
+    ox, oy, oz = regs["o"]
+    ix, iy, iz = regs["inv"]
+    tx0 = (cb[0] - ox) * ix
+    tx1 = (cb[3] - ox) * ix
+    ty0 = (cb[1] - oy) * iy
+    ty1 = (cb[4] - oy) * iy
+    tz0 = (cb[2] - oz) * iz
+    tz1 = (cb[5] - oz) * iz
+    t0 = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                 jnp.minimum(ty0, ty1)),
+                     jnp.maximum(jnp.minimum(tz0, tz1), regs["mint"]))
+    t1 = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                 jnp.maximum(ty0, ty1)),
+                     jnp.minimum(jnp.maximum(tz0, tz1),
+                                 jnp.minimum(regs["maxt"], best_t) *
+                                 (1.0 + 1e-6)))
+    enter = jnp.any(t0 <= t1) & (lo_c < nn)
+    if any_hit:
+        enter = enter & jnp.any(best_id < 0)
+
+    def walk(args):
+        bt, bi = args
+        return _walk_range(nodes_ref, regs, lo_c, hi_c, lo_c, bt, bi,
+                           leaf_k=leaf_k, any_hit=any_hit)
+
+    best_t, best_id = jax.lax.cond(enter, walk, lambda a: a,
+                                   (best_t, best_id))
+    t_ref[:] = best_t.reshape(1, tile)
+    id_ref[:] = best_id.reshape(1, tile)
 
 
 STACK = 256
@@ -278,8 +377,11 @@ def traverse(nodes128, rays_packed, *, nn: int, leaf_k: int,
     from jax.experimental.pallas import tpu as pltpu
 
     N = rays_packed.shape[1]
-    assert N % RAY_TILE == 0
-    grid = (N // RAY_TILE,)
+    # The stack flavor keeps the original 256-ray packet (its per-packet
+    # scalar cursor work doesn't vectorize over sublanes).
+    tile = 256 if use_stack else RAY_TILE
+    assert N % tile == 0
+    grid = (N // tile,)
 
     # Two kernel flavors, A/B-measured on the config4_big terrain: the
     # plain skip-link walk WINS (4.7s vs 5.8s full-render) — the ordered
@@ -294,7 +396,7 @@ def traverse(nodes128, rays_packed, *, nn: int, leaf_k: int,
     else:
         def kern(nodes_ref, rays_ref, t_ref, id_ref):
             _kernel(nodes_ref, rays_ref, t_ref, id_ref, nn=nn,
-                    leaf_k=leaf_k, any_hit=any_hit)
+                    leaf_k=leaf_k, any_hit=any_hit, tile=tile)
         scratch = []
     kern.__name__ = (f"bvh_packet_n{nn}_k{leaf_k}_a{int(any_hit)}"
                      f"_r{N}_s{int(use_stack)}")
@@ -304,13 +406,13 @@ def traverse(nodes128, rays_packed, *, nn: int, leaf_k: int,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),   # whole node table
-            pl.BlockSpec((8, RAY_TILE), lambda i: (0, i),
+            pl.BlockSpec((8, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, RAY_TILE), lambda i: (0, i),
+            pl.BlockSpec((1, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, RAY_TILE), lambda i: (0, i),
+            pl.BlockSpec((1, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[

@@ -49,6 +49,11 @@ class RenderOptions(NamedTuple):
     # Re-write the in-progress image every N samples (film/image.cpp:142-146,
     # writefrequency param); <=0 disables. Rounded up to whole chunks.
     writefrequency: int = -1
+    # Render drive: "auto" routes path/directlighting/whitted through the
+    # single-dispatch regenerating wavefront pool (path_wavefront.render)
+    # unless checkpointing is requested; "scan" forces the chunked scan
+    # driver (parity tests, checkpoint/resume); "wavefront" forces the pool.
+    driver: str = "auto"
 
 
 def _li_dispatch(scene, opts: RenderOptions, o, d, mint, maxt,
@@ -209,6 +214,17 @@ def render(scene: SceneData, opts: RenderOptions, progress: bool = False,
     """
     import time as _time
     t0 = _time.time()
+    # Wavefront routing: the regenerating lane pool renders these
+    # integrators in ONE device dispatch (no per-chunk host syncs, no
+    # dead-lane passes) — the scan driver remains for checkpoint/resume
+    # and as the parity oracle (driver="scan").
+    wf_ok = opts.integrator in ("path", "directlighting", "whitted") and \
+        checkpoint_path is None and not resume and \
+        not (opts.writefrequency and opts.writefrequency > 0)
+    if opts.driver == "wavefront" or (opts.driver == "auto" and wf_ok):
+        from .integrators import path_wavefront
+        return path_wavefront.render(scene, opts, progress=progress,
+                                     stats=stats)
     film = film_mod.make_film(opts.xres, opts.yres, opts.crop)
     xstart, xcount, ystart, ycount = film_mod.pixel_extent(film)
     spp = smp.samples_per_pixel(opts.sampler)

@@ -575,7 +575,8 @@ class SceneBuilder:
                 area_cdf=np.asarray(cdf_flat, np.float32),
                 count=nl, infinite_meta=infinite_meta,
                 dir_map_meta=dir_map_meta, max_area_count=max_cnt,
-                kinds_present=tuple(sorted({l.kind for l in self.lights})))
+                kinds_present=tuple(sorted({l.kind for l in self.lights})),
+                kinds_list=tuple(int(l.kind) for l in self.lights))
         else:
             z = np.zeros
             lt_tab = D.LightTable(
@@ -586,7 +587,7 @@ class SceneBuilder:
                 area_count=z((0,), np.int32), area_total_area=z((0,)),
                 cdf_offset=z((0,), np.int32), area_cdf=z((1,)),
                 count=0, infinite_meta=(), dir_map_meta=(), max_area_count=1,
-                kinds_present=())
+                kinds_present=(), kinds_list=())
 
         # World bound.
         los, his = [], []

@@ -182,6 +182,11 @@ class LightTable:
     count: int = static(default=0)
     # Static set of light kinds present — sampling skips absent kinds.
     kinds_present: Tuple = static(default=())
+    # Static per-light kind roster (kinds_list[i] == kind of light i):
+    # lets per-light unrolled estimators (directlighting "all", whitted)
+    # specialize at trace time — a delta light needs no BSDF-strategy ray,
+    # so its traversal is skipped entirely instead of masked.
+    kinds_list: Tuple = static(default=())
     # Static roster of (light_id, image_id, importance: bool) for infinite
     # lights — image structure is static so env lookups unroll per light.
     infinite_meta: Tuple = static(default=())
