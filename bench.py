@@ -30,6 +30,9 @@ import time
 # Measured on this image's CPU (single thread), 2026-08-20.
 PBRT_CONFIG3_RAYS_PER_SEC = 0.709e6
 PBRT_CONFIG4_RAYS_PER_SEC = 0.596e6
+# config5 (1M-tri terrain): measured when the reference build exists in
+# this round's image (tools/build_reference.md); None -> report raw rays/s.
+PBRT_CONFIG5_RAYS_PER_SEC = None
 CONFIG3_REF_RAYS = 2.114e6 + 3.363e6
 CONFIG4_REF_RAYS = 1.05e6 + 0.387e6
 
@@ -63,6 +66,52 @@ def bench_config4(here):
     return time.time() - t0
 
 
+def build_config5_scene(n=708):
+    """The 1M-triangle scale workload (VERDICT r3 item 3): config4's
+    terrain at 10x triangle count, plain matte, same lights/camera/
+    sampler. Built procedurally (the 50 MB .pbrt text form is only
+    written for reference cross-runs, tools/make_scenes.py --huge)."""
+    import numpy as np
+    import sys
+    here = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, os.path.join(here, "tools"))
+    from make_scenes import terrain
+    from tpuprt.scene.build import SceneBuilder
+    from tpuprt.cameras import cameras as cam
+    from tpuprt.core import transform as tf
+    from tpuprt import render as R
+    from tpuprt.samplers.samplers import SamplerConfig
+
+    v, f = terrain(n)
+    b = SceneBuilder()
+    m = b.matte(kd=(0.6, 0.55, 0.5))
+    b.add_trianglemesh(np.eye(4), f, v, material=m)
+    b.add_distant_light(np.eye(4), L=(2.2, 2.1, 1.9), frm=(3, 6, -4),
+                        to=(0, 0, 0))
+    b.add_infinite_light(np.eye(4), L=(0.8, 0.9, 1.1))
+    xres = yres = 512
+    c2w = np.asarray(tf.look_at([0, 1.1, -2.6], [0, 0, 0], [0, 1, 0]))
+    b.set_camera(cam.build_projective(
+        0, c2w, np.asarray(tf.perspective(55.0, 1e-2, 100.0)),
+        cam.default_screen_window(xres, yres), xres, yres))
+    scene = b.build()
+    opts = R.RenderOptions(
+        xres=xres, yres=yres,
+        sampler=SamplerConfig(kind="lowdiscrepancy", pixelsamples=4),
+        filter_kind="box", filter_xwidth=0.5, filter_ywidth=0.5,
+        integrator="directlighting", max_depth=5, chunk_size=1 << 17)
+    return scene, opts, len(f)
+
+
+def bench_config5():
+    from tpuprt import render as R
+    scene, opts, ntris = build_config5_scene()
+    R.render(scene, opts)                        # warmup/compile
+    t0 = time.time()
+    R.render(scene, opts)
+    return time.time() - t0, ntris
+
+
 def main():
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/tpuprt_jax_cache")
@@ -74,6 +123,18 @@ def main():
 
     dt4 = bench_config4(here)
     rate4 = CONFIG4_REF_RAYS / dt4
+
+    dt5, ntris5 = bench_config5()
+    # Same counter convention as config4 (camera + shadow at the
+    # reference's ratio): 512^2 x 4 spp camera rays; shadow ratio as
+    # measured for the reference on config4 (0.387/1.05).
+    config5_rays = 512 * 512 * 4 * (1.0 + 0.387 / 1.05)
+    rate5 = config5_rays / dt5
+    extra5 = {}
+    if PBRT_CONFIG5_RAYS_PER_SEC:
+        extra5["config5_vs_baseline"] = round(
+            rate5 / PBRT_CONFIG5_RAYS_PER_SEC, 3)
+        extra5["config5_baseline_rays_per_sec"] = PBRT_CONFIG5_RAYS_PER_SEC
 
     print(json.dumps({
         "metric": "primary+shadow rays/sec/chip (config3 Cornell path)",
@@ -90,6 +151,11 @@ def main():
         "config4_vs_baseline": round(rate4 / PBRT_CONFIG4_RAYS_PER_SEC, 3),
         "config4_wall_s": round(dt4, 3),
         "config4_baseline_rays_per_sec": PBRT_CONFIG4_RAYS_PER_SEC,
+        "config5_metric": "primary+shadow rays/sec/chip (config5_huge "
+                          f"{ntris5}-tri terrain, streamed-chunk BVH)",
+        "config5_value": round(rate5, 1),
+        "config5_wall_s": round(dt5, 3),
+        **extra5,
         "baseline_note": "pbrt-v1 measured on this image's CPU, same "
                          "scenes/counters (tools/build_reference.md)",
     }))

@@ -148,3 +148,30 @@ def test_packet_pallas_matches_loop_traversal():
     finally:
         bvh_mod.force_pallas = old
     assert (np.asarray(h_k) == np.asarray(h_ref)).all()
+
+
+def test_chunked_traversal_matches_single_table():
+    """traverse_chunked (streamed HBM node chunks, VERDICT r3 item 3) must
+    agree exactly with the VMEM-resident kernel: arbitrary contiguous
+    preorder ranges are walkable because the skip-walk cursor is
+    monotonically increasing."""
+    import jax.numpy as jnp
+    from tpuprt.ops import bvh_pallas
+    scene = _random_mesh_scene(400)
+    bvh = build_bvh(scene)
+    o, d, mint, maxt = _rays(4096)
+    rays = jnp.concatenate([o.T, d.T, mint[None], maxt[None]], axis=0)
+    nodes = jnp.pad(bvh.nodes, ((0, 0), (0, 128 - bvh.nodes.shape[1])))
+    t1, i1 = bvh_pallas.traverse(nodes, rays, nn=bvh.n_nodes,
+                                 leaf_k=bvh.leaf_k, interpret=True)
+    # cap=64 forces several chunks on this small tree.
+    t2, i2 = bvh_pallas.traverse_chunked(nodes, rays, nn=bvh.n_nodes,
+                                         leaf_k=bvh.leaf_k, interpret=True,
+                                         cap=64)
+    assert (np.asarray(i1) == np.asarray(i2)).all()
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t2),
+                               rtol=1e-5, atol=1e-5)
+    _, ia = bvh_pallas.traverse_chunked(nodes, rays, nn=bvh.n_nodes,
+                                        leaf_k=bvh.leaf_k, any_hit=True,
+                                        interpret=True, cap=64)
+    assert ((np.asarray(ia) >= 0) == (np.asarray(i1) >= 0)).all()

@@ -222,6 +222,29 @@ def main():
         big = big.replace('"integer yresolution" [128]',
                           '"integer yresolution" [512]')
         open(os.path.join(outdir, "config4_big.pbrt"), "w").write(big)
+    if "--huge" in sys.argv:
+        # 1M-triangle scale workload (bench.py config5): plain matte (no
+        # texture) so the stanza stays one mesh; written on demand only
+        # (the text form is ~50 MB — used for reference cross-runs).
+        v, f = terrain(708)
+        huge = f"""# config5: 1M-tri terrain, directlighting
+Film "image" "integer xresolution" [512] "integer yresolution" [512]
+    "string filename" ["bench5.exr"]
+LookAt 0 1.1 -2.6  0 0 0  0 1 0
+Camera "perspective" "float fov" [55]
+Sampler "lowdiscrepancy" "integer pixelsamples" [4]
+PixelFilter "box" "float xwidth" [0.5] "float ywidth" [0.5]
+SurfaceIntegrator "directlighting"
+Accelerator "kdtree"
+WorldBegin
+LightSource "infinite" "color L" [0.8 0.9 1.1]
+LightSource "distant" "point from" [3 6 -4] "point to" [0 0 0]
+    "color L" [2.2 2.1 1.9]
+Material "matte" "color Kd" [0.6 0.55 0.5]
+{mesh_stanza(v, f)}
+WorldEnd
+"""
+        open(os.path.join(outdir, "config5_huge.pbrt"), "w").write(huge)
     print(f"wrote scenes to {outdir}/")
 
 
