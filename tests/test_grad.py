@@ -114,3 +114,56 @@ def test_grad_sphere_translation_interior():
     # agree in magnitude up to the silhouette terms FD sees but AD doesn't.
     assert g < 0 and fd < 0
     assert abs(g - fd) < 0.5 * abs(fd) + 1e-3, (g, fd)
+
+
+def test_grad_silhouette_matches_fd():
+    """Silhouette/visibility gradient (VERDICT r2-r4 open item): a black
+    occluder quad in front of a bright infinite background — the loss
+    changes ONLY through which pixels the silhouette covers, which the
+    interior (detached-sampling) estimator cannot see. Edge sampling
+    (tpuprt.diff.silhouette) must recover it to FD accuracy."""
+    from tpuprt.diff.silhouette import render_loss_with_silhouette
+
+    xres = yres = 64
+
+    def occluder_scene(cx):
+        b = SceneBuilder()
+        dark = b.matte(kd=(0.0, 0.0, 0.0))
+        s = 0.6
+        quad = np.asarray([[-s, -s, 1.0], [s, -s, 1.0],
+                           [s, s, 1.0], [-s, s, 1.0]], np.float32)
+        b.add_trianglemesh(np.eye(4), [[0, 1, 2], [0, 2, 3]], quad,
+                           material=dark)
+        b.add_infinite_light(np.eye(4), L=(1.0, 1.0, 1.0))
+        c2w = np.asarray(tf.look_at([0, 0, -4], [0, 0, 0], [0, 1, 0]))
+        b.set_camera(cam.build_projective(
+            0, c2w, np.asarray(tf.perspective(45.0, 1e-2, 100.0)),
+            cam.default_screen_window(xres, yres), xres, yres))
+        sc = b.build()
+        # theta enters through the mesh vertex positions.
+        verts = sc.triangles.verts + jnp.asarray([1.0, 0.0, 0.0]) * cx
+        return dataclasses.replace(
+            sc, triangles=dataclasses.replace(sc.triangles, verts=verts))
+
+    opts = _OPTS._replace(xres=xres, yres=yres, chunk_size=xres * yres)
+    lin = np.arange(xres * yres)
+    px = jnp.asarray(lin % xres, jnp.int32)
+    py = jnp.asarray(lin // xres, jnp.int32)
+    si = jnp.zeros(xres * yres, jnp.int32)
+
+    rgb_t, _ = R.render(occluder_scene(0.2), opts._replace(driver="scan"))
+    target = jnp.asarray(rgb_t)
+
+    def loss_of_cx(cx):
+        return render_loss_with_silhouette(
+            occluder_scene(cx), opts, px, py, si, target,
+            n_edge_samples=4096, seed=3)
+
+    g = float(jax.grad(loss_of_cx)(0.0))
+    eps = 5e-2
+    fd = (float(loss_of_cx(eps)) - float(loss_of_cx(-eps))) / (2 * eps)
+    # The interior gradient alone is ~0 here (flat radiance both sides);
+    # everything must come from the boundary term.
+    assert fd < -1e-3, fd     # loss decreases toward the target
+    assert g < 0, (g, fd)
+    assert abs(g - fd) < 0.25 * abs(fd), (g, fd)
