@@ -1,0 +1,114 @@
+"""Ray-transform instancing (VERDICT r3 item 5): ObjectInstance mesh
+objects share ONE prototype BLAS + per-instance transforms
+(/root/reference/core/primitive.cpp:66-85 semantics) instead of geometry
+duplication; renders must match the duplication path exactly and memory
+must stay O(prototype + instances)."""
+import numpy as np
+
+from tpuprt.scene.parser import load_scene_string
+from tpuprt import render as R
+
+
+HEAD = """
+Film "image" "integer xresolution" [48] "integer yresolution" [48]
+LookAt 0 1.5 -5  0 0 0  0 1 0
+Camera "perspective" "float fov" [50]
+Sampler "lowdiscrepancy" "integer pixelsamples" [2]
+SurfaceIntegrator "directlighting"
+WorldBegin
+LightSource "distant" "point from" [2 5 -3] "point to" [0 0 0]
+    "color L" [2.5 2.4 2.2]
+LightSource "infinite" "color L" [0.2 0.25 0.3]
+Material "matte" "color Kd" [0.7 0.6 0.5]
+# ground
+Shape "trianglemesh" "integer indices" [0 1 2 0 2 3]
+  "point P" [-6 -0.5 -6  6 -0.5 -6  6 -0.5 6  -6 -0.5 6]
+"""
+
+# A small pyramid prototype (4 side faces + base).
+PYRAMID = """
+ObjectBegin "pyr"
+  Material "matte" "color Kd" [0.3 0.5 0.8]
+  Shape "trianglemesh" "integer indices" [0 1 4  1 2 4  2 3 4  3 0 4  0 2 1  0 3 2]
+    "point P" [-0.4 -0.5 -0.4  0.4 -0.5 -0.4  0.4 -0.5 0.4
+               -0.4 -0.5 0.4  0 0.45 0]
+ObjectEnd
+"""
+
+PLACEMENTS = [(-1.6, 0.0), (-0.5, 0.6), (0.7, -0.4), (1.7, 0.5),
+              (0.1, -1.4), (-1.0, -1.0)]
+
+
+def _instanced_text():
+    s = HEAD + PYRAMID
+    for x, z in PLACEMENTS:
+        s += ("AttributeBegin\n"
+              f"  Translate {x} 0 {z}\n"
+              "  Rotate 25 0 1 0\n"
+              '  ObjectInstance "pyr"\n'
+              "AttributeEnd\n")
+    return s + "WorldEnd\n"
+
+
+def _duplicated_text():
+    # Same geometry with instancing disabled by attaching an (unused but
+    # eligibility-breaking) area light? No — simply inline the shapes.
+    s = HEAD
+    for x, z in PLACEMENTS:
+        s += ("AttributeBegin\n"
+              f"  Translate {x} 0 {z}\n"
+              "  Rotate 25 0 1 0\n"
+              '  Material "matte" "color Kd" [0.3 0.5 0.8]\n'
+              '  Shape "trianglemesh" "integer indices" '
+              "[0 1 4  1 2 4  2 3 4  3 0 4  0 2 1  0 3 2]\n"
+              '    "point P" [-0.4 -0.5 -0.4  0.4 -0.5 -0.4  0.4 -0.5 0.4'
+              "  -0.4 -0.5 0.4  0 0.45 0]\n"
+              "AttributeEnd\n")
+    return s + "WorldEnd\n"
+
+
+def test_instanced_matches_duplication():
+    sc_i, opts = load_scene_string(_instanced_text())
+    sc_d, _ = load_scene_string(_duplicated_text())
+    opts = opts._replace(filter_kind="box", filter_xwidth=0.5,
+                         filter_ywidth=0.5, chunk_size=48 * 48, driver="scan")
+    assert sc_i.instances is not None and sc_i.instances.count == \
+        len(PLACEMENTS)
+    # Prototype stored once: main triangle table holds only the ground.
+    assert sc_i.triangles.count == 2
+    assert sc_i.instances.n_tris == 6
+    assert sc_d.triangles.count == 2 + 6 * len(PLACEMENTS)
+    rgb_i, a_i = R.render(sc_i, opts)
+    rgb_d, a_d = R.render(sc_d, opts)
+    assert np.isfinite(rgb_i).all()
+    assert float(np.abs(rgb_i).sum()) > 0.0
+    np.testing.assert_allclose(rgb_i, rgb_d, atol=2e-3, rtol=2e-3)
+    np.testing.assert_allclose(a_i, a_d, atol=1e-5)
+
+
+def test_instance_memory_is_o_proto_plus_n():
+    """50 instances of the prototype: the instance table's geometry stays
+    the prototype's 6 triangles; only transforms grow."""
+    s = HEAD + PYRAMID
+    rng = np.random.default_rng(0)
+    for i in range(50):
+        x, z = rng.uniform(-3, 3, 2)
+        s += (f"AttributeBegin\n  Translate {x:.3f} 0 {z:.3f}\n"
+              '  ObjectInstance "pyr"\nAttributeEnd\n')
+    s += "WorldEnd\n"
+    sc, _ = load_scene_string(s)
+    assert sc.instances.count == 50
+    assert sc.instances.n_tris == 6          # prototype NOT duplicated
+    assert sc.triangles.count == 2           # ground only
+    assert sc.instances.inst_o2w.shape == (50, 4, 4)
+
+
+def test_wavefront_serves_instanced_scenes():
+    """The regenerating-pool driver must handle the instanced aggregate."""
+    from tpuprt.integrators import path_wavefront
+    sc_i, opts = load_scene_string(_instanced_text())
+    opts = opts._replace(filter_kind="box", filter_xwidth=0.5,
+                         filter_ywidth=0.5, chunk_size=1024)
+    rgb_scan, _ = R.render(sc_i, opts._replace(driver="scan"))
+    rgb_wf, _ = path_wavefront.render(sc_i, opts)
+    np.testing.assert_allclose(rgb_wf, rgb_scan, atol=2e-4, rtol=2e-4)

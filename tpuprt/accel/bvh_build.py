@@ -132,15 +132,30 @@ def _build_native_sah(lo, hi, nq, tri9, p):
         return rows[:nn], prim_ids[:nn], nn
 
 
+def build_rows(lo, hi, nq, tri9):
+    """Array-level wide-BVH build over prim AABBs (quadrics first, then
+    triangles with packed verts tri9): native binned SAH when the
+    toolchain exists, Python Morton LBVH otherwise. Returns
+    (rows f32[NN,96], prim_ids i32[NN,LEAF_K], nn). Shared by the scene
+    BVH (build_bvh) and per-prototype BLAS builds (accel/instances.py)."""
+    lo = np.ascontiguousarray(lo, np.float32)
+    hi = np.ascontiguousarray(hi, np.float32)
+    p = len(lo)
+    # Prim ids and node-count fields ride in f32 node rows: ids above 2^24
+    # are unrepresentable there (silent traversal corruption beyond).
+    assert p < (1 << 24), f"{p} prims exceeds the f32-id row format"
+    native = _build_native_sah(lo, hi, nq, tri9, p)
+    if native is not None:
+        assert native[2] < (1 << 24)
+        return native
+    return _build_python_lbvh(lo, hi, nq, tri9)
+
+
 def build_bvh(scene: SceneData) -> BvhAccel:
     lo, hi = _prim_bounds(scene)
     lo = lo.astype(np.float32)
     hi = hi.astype(np.float32)
-    p = len(lo)
     nq = scene.quadrics.count
-    # Prim ids and node-count fields ride in f32 node rows: ids above 2^24
-    # are unrepresentable there (silent traversal corruption beyond).
-    assert p < (1 << 24), f"{p} prims exceeds the f32-id row format"
 
     # Packed world-space triangle rows for leaf inlining.
     tri = scene.triangles
@@ -152,19 +167,19 @@ def build_bvh(scene: SceneData) -> BvhAccel:
     else:
         tri9 = np.zeros((1, 9), np.float32)
 
-    native = _build_native_sah(lo, hi, nq, tri9, p)
-    if native is not None:
-        rows, prim_ids, nn = native
-        assert nn < (1 << 24)
-        import jax
-        dp = jax.device_put
-        pad = 1e-4 * max(np.abs(lo).max(initial=0),
-                         np.abs(hi).max(initial=0)) + 1e-4
-        return BvhAccel(
-            bounds_lo=dp(lo.min(0) - pad), bounds_hi=dp(hi.max(0) + pad),
-            nodes=dp(rows), prim_ids=dp(prim_ids.reshape(-1)),
-            tri9=dp(tri9), n_nodes=nn, leaf_k=LEAF_K, n_quadrics=nq)
+    rows, prim_ids, nn = build_rows(lo, hi, nq, tri9)
+    import jax
+    dp = jax.device_put
+    pad = 1e-4 * max(np.abs(lo).max(initial=0),
+                     np.abs(hi).max(initial=0)) + 1e-4
+    return BvhAccel(
+        bounds_lo=dp(lo.min(0) - pad), bounds_hi=dp(hi.max(0) + pad),
+        nodes=dp(rows), prim_ids=dp(prim_ids.reshape(-1)),
+        tri9=dp(tri9), n_nodes=nn, leaf_k=LEAF_K, n_quadrics=nq)
 
+
+def _build_python_lbvh(lo, hi, nq, tri9):
+    p = len(lo)
     # Python LBVH fallback: Morton order of centroids.
     c = 0.5 * (lo + hi)
     cmin = c.min(0)
@@ -242,12 +257,4 @@ def build_bvh(scene: SceneData) -> BvhAccel:
 
     emit(0, p, nn)
     assert counter[0] == nn
-
-    import jax
-    dp = jax.device_put
-    pad = 1e-4 * max(np.abs(lo).max(initial=0), np.abs(hi).max(initial=0)) \
-        + 1e-4
-    return BvhAccel(
-        bounds_lo=dp(lo.min(0) - pad), bounds_hi=dp(hi.max(0) + pad),
-        nodes=dp(rows), prim_ids=dp(prim_ids.reshape(-1)), tri9=dp(tri9),
-        n_nodes=nn, leaf_k=LEAF_K, n_quadrics=nq)
+    return rows, prim_ids, nn

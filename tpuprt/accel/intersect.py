@@ -128,8 +128,11 @@ def _brute_force(scene: SceneData, o, d, mint, maxt, any_hit=False):
     return best_t, best_id, hit
 
 
-def intersect_ids(scene: SceneData, o, d, mint, maxt):
-    """Nearest-hit (t, prim_id, hit) without differential geometry."""
+def _has_instances(scene: SceneData) -> bool:
+    return scene.instances is not None and scene.instances.count > 0
+
+
+def _main_intersect(scene: SceneData, o, d, mint, maxt):
     if scene.accel is not None:
         from ..scene.data import BvhAccel, KdTreeAccel
         if isinstance(scene.accel, BvhAccel):
@@ -143,6 +146,30 @@ def intersect_ids(scene: SceneData, o, d, mint, maxt):
     return _brute_force(scene, o, d, mint, maxt)
 
 
+def intersect_ids(scene: SceneData, o, d, mint, maxt):
+    """Nearest-hit (t, prim_id, hit) without differential geometry.
+    Instanced geometry (scene.instances) is a second aggregate: its hits
+    are min-combined with the main one; instanced winners get global ids
+    NQ + NT + inst * n_proto_tris + proto_tri."""
+    t, pid, hit = _main_intersect(scene, o, d, mint, maxt)
+    if _has_instances(scene):
+        from . import instances as inst_mod
+        ti, code, hi_ = inst_mod.intersect(scene.instances, o, d, mint,
+                                           maxt)
+        # Differentiable recompute of the instanced winner's t (same
+        # detached-traversal estimator as the main aggregates).
+        t_id, valid_i = inst_mod.recompute_t(scene.instances, code, o, d,
+                                             mint, hi_)
+        ti = jnp.where(hi_ & valid_i, t_id, jnp.where(hi_, ti, _BIG))
+        t_main = jnp.where(hit, t, _BIG)
+        choose = hi_ & (ti < t_main)
+        base = scene.quadrics.count + scene.triangles.count
+        t = jnp.where(choose, ti, t_main)
+        pid = jnp.where(choose, base + code, pid)
+        hit = hit | hi_
+    return t, pid, hit
+
+
 def occluded(scene: SceneData, o, d, mint, maxt):
     """Any-hit shadow-ray predicate (Scene::IntersectP)."""
     if scene.accel is not None:
@@ -151,15 +178,19 @@ def occluded(scene: SceneData, o, d, mint, maxt):
             from . import bvh as bvh_mod
             _, _, hit = bvh_mod.intersect(scene, o, d, mint, maxt,
                                           any_hit=True)
-            return hit
-        if isinstance(scene.accel, KdTreeAccel):
+        elif isinstance(scene.accel, KdTreeAccel):
             from . import kdtree as kd_mod
             _, _, hit = kd_mod.intersect(scene, o, d, mint, maxt,
                                          any_hit=True)
-            return hit
-        _, _, hit = intersect_ids(scene, o, d, mint, maxt)
-        return hit
-    _, _, hit = _brute_force(scene, o, d, mint, maxt, any_hit=True)
+        else:
+            _, _, hit = _main_intersect(scene, o, d, mint, maxt)
+    else:
+        _, _, hit = _brute_force(scene, o, d, mint, maxt, any_hit=True)
+    if _has_instances(scene):
+        from . import instances as inst_mod
+        _, _, hi_ = inst_mod.intersect(scene.instances, o, d, mint, maxt,
+                                       any_hit=True)
+        hit = hit | hi_
     return hit
 
 
@@ -171,6 +202,17 @@ def hit_geometry(scene: SceneData, prim_id, o, d, t):
     """
     nq = scene.quadrics.count
     nt = scene.triangles.count
+    base = nq + nt
+    is_inst = None
+    if scene.instances is not None and scene.instances.count > 0:
+        from . import instances as inst_mod
+        is_inst = jnp.maximum(prim_id, 0) >= base
+        dg_i = inst_mod.hit_geometry(
+            scene.instances, jnp.maximum(prim_id - base, 0), o, d, t)
+        prim_id = jnp.where(is_inst, 0, prim_id)   # main branch clamps
+        if base == 0:
+            dg_i["material"] = jnp.where(is_inst, dg_i["material"], 0)
+            return dg_i
     pid = jnp.maximum(prim_id, 0)
 
     if nq and nt:
@@ -209,6 +251,17 @@ def hit_geometry(scene: SceneData, prim_id, o, d, t):
 
     dg["material"] = material
     dg["area_light"] = area_light
+    if is_inst is not None:
+        m = is_inst[..., None]
+        for k in ("p", "nn", "sn", "ss", "ts", "dpdu", "dpdv", "dndu",
+                  "dndv"):
+            dg[k] = jnp.where(m, dg_i[k], dg[k])
+        for k in ("u", "v"):
+            dg[k] = jnp.where(is_inst, dg_i[k], dg[k])
+        dg["material"] = jnp.where(is_inst, dg_i["material"],
+                                   dg["material"])
+        dg["area_light"] = jnp.where(is_inst, dg_i["area_light"],
+                                     dg["area_light"])
     return dg
 
 
@@ -288,6 +341,21 @@ def hit_geometry_light(scene: SceneData, prim_id, o, d, t):
                               QUADRIC_CONE, QUADRIC_PARABOLOID)
     nq = scene.quadrics.count
     nt = scene.triangles.count
+    base = nq + nt
+    is_inst = None
+    if scene.instances is not None and scene.instances.count > 0:
+        # Instanced hits carry no area light (parser falls back to
+        # duplication for emissive objects): geometric normal + material
+        # suffice for the strategy-2 identification contract.
+        from . import instances as inst_mod
+        is_inst = jnp.maximum(prim_id, 0) >= base
+        dg_i = inst_mod.hit_geometry(
+            scene.instances, jnp.maximum(prim_id - base, 0), o, d, t)
+        prim_id = jnp.where(is_inst, 0, prim_id)
+        if base == 0:
+            return dict(p=dg_i["p"], nn=dg_i["nn"],
+                        area_light=dg_i["area_light"],
+                        material=dg_i["material"])
     pid = jnp.maximum(prim_id, 0)
     p = o + t[..., None] * d
 
@@ -353,6 +421,10 @@ def hit_geometry_light(scene: SceneData, prim_id, o, d, t):
         nn = quad_nn(qid)
         area_light = scene.quadrics.area_light[qid]
         material = scene.quadrics.material[qid]
+    if is_inst is not None:
+        nn = jnp.where(is_inst[..., None], dg_i["nn"], nn)
+        area_light = jnp.where(is_inst, dg_i["area_light"], area_light)
+        material = jnp.where(is_inst, dg_i["material"], material)
     return dict(p=p, nn=nn, area_light=area_light, material=material)
 
 

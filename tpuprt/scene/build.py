@@ -99,6 +99,9 @@ class SceneBuilder:
         self.accel_kind: str = "auto"
         self.accel_params: Dict[str, Any] = {}
         self._const_cache: Dict[Tuple[float, float, float], int] = {}
+        # Ray-transform instancing: prototype meshes + (proto, o2w) pairs.
+        self.protos: List[Dict[str, Any]] = []
+        self.instances: List[Tuple[int, np.ndarray]] = []
 
     # ---- textures -------------------------------------------------------
     def add_texture(self, meta: TexNodeMeta, fparams=None, w2t=None) -> int:
@@ -269,6 +272,40 @@ class SceneBuilder:
         self.meshes.append(_Mesh(vw, idx, nw, uvw, sw, material, area_light,
                                  flip))
         return len(self.meshes) - 1
+
+    def add_prototype(self, indices, P, N=None, uv=None, material=0,
+                      reverse_orientation=False, o2w=None) -> int:
+        """Object-space prototype mesh for ray-transform instancing
+        (ObjectBegin geometry; o2w = the definition-time CTM, baked into
+        the prototype's object space like api.cpp's shape transform)."""
+        P = np.asarray(P, np.float32).reshape(-1, 3)
+        idx = np.asarray(indices, np.int32).reshape(-1, 3)
+        nrm = None
+        flip_swap = False
+        if o2w is not None:
+            o2w = np.asarray(o2w, np.float32)
+            P = (P @ o2w[:3, :3].T) + o2w[:3, 3]
+            flip_swap = tf.swaps_handedness(o2w)
+            if N is not None:
+                n = np.asarray(N, np.float32).reshape(-1, 3)
+                inv = np.linalg.inv(o2w)
+                nrm = n @ inv[:3, :3]
+                nrm /= np.maximum(
+                    np.linalg.norm(nrm, axis=-1, keepdims=True), 1e-12)
+        elif N is not None:
+            nrm = np.asarray(N, np.float32).reshape(-1, 3)
+        uvw = np.asarray(uv, np.float32).reshape(-1, 2) \
+            if uv is not None else None
+        flip = -1.0 if (bool(reverse_orientation) ^ flip_swap) else 1.0
+        self.protos.append(dict(verts=P, idx=idx, uv=uvw, normals=nrm,
+                                material=material, flip=flip))
+        return len(self.protos) - 1
+
+    def add_instance(self, proto_id: int, o2w) -> int:
+        """Place an instance of a prototype under transform o2w
+        (ObjectInstance; reference core/primitive.cpp:66-85)."""
+        self.instances.append((proto_id, np.asarray(o2w, np.float32)))
+        return len(self.instances) - 1
 
     # ---- lights ---------------------------------------------------------
     def add_point_light(self, l2w, intensity=(1.0,) * 3):
@@ -633,10 +670,20 @@ class SceneBuilder:
                 wlo = np.minimum(wlo, v["lo"])
                 whi = np.maximum(whi, v["hi"])
 
+        # Ray-transform instances (accel/instances.py): prototype BLAS
+        # tables + per-instance transforms, O(protos + instances) memory.
+        inst_tab = None
+        if self.instances:
+            from ..accel.instances import build_instances
+            inst_tab = build_instances(self.protos, self.instances)
+            wlo = np.minimum(wlo, np.asarray(inst_tab.bounds_lo))
+            whi = np.maximum(whi, np.asarray(inst_tab.bounds_hi))
+
         scene = D.SceneData(
             quadrics=q, triangles=tri, materials=materials, textures=textures,
             images=images, lights=lt_tab, volumes=vols, camera=self.camera,
-            accel=None, env_importance=tuple(env_dists),
+            accel=None, instances=inst_tab,
+            env_importance=tuple(env_dists),
             world_bound_lo=np.asarray(wlo), world_bound_hi=np.asarray(whi))
 
         # Accelerator: explicit request, or automatic for big scenes (the

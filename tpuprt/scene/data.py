@@ -304,6 +304,47 @@ class BvhAccel:
 
 
 @pytree_dataclass
+class InstanceTable:
+    """Ray-transform instancing (the reference's InstancePrimitive,
+    /root/reference/core/primitive.cpp:66-85 + api.cpp ObjectInstance):
+    prototype triangle geometry stored ONCE in object space with a
+    per-prototype BLAS; instances carry only transforms. Memory is
+    O(prototypes + instances) instead of the duplication path's product.
+    Traversal transforms rays into instance space inside the Pallas
+    kernel (ops/bvh_pallas.traverse_instanced); hits come back as
+    (world t, proto tri id, instance id). Area lights on instanced
+    geometry are unsupported (the parser falls back to duplication)."""
+    # Prototype geometry (OBJECT space), concatenated across prototypes.
+    verts: jnp.ndarray        # f32[V,3]
+    idx: jnp.ndarray          # i32[T,3]
+    uv: jnp.ndarray           # f32[V,2]
+    normals: jnp.ndarray      # f32[V,3] (zeros if none)
+    has_normals: jnp.ndarray  # bool[T]
+    material: jnp.ndarray     # i32[T]
+    flip_normal: jnp.ndarray  # f32[T]
+    # Concatenated per-prototype BLAS tables (bvh_build8 rows, padded to
+    # 128 cols and to block multiples; leaf prim ids are GLOBAL proto tri
+    # ids). Node/skip ids are proto-local.
+    nodes: jnp.ndarray        # f32[NNpad, 128]
+    # Instances.
+    inst_o2w: jnp.ndarray     # f32[I,4,4]
+    inst_w2o: jnp.ndarray     # f32[I,4,4]
+    # Traversal entries: one per (instance, prototype node block).
+    entry_block: jnp.ndarray  # i32[E] node-block row / block_cap
+    entry_inst: jnp.ndarray   # i32[E]
+    entry_start: jnp.ndarray  # i32[E] first proto-local node id of block
+    entry_stop: jnp.ndarray   # i32[E] one past the block's last node id
+    entry_bbox: jnp.ndarray   # f32[E,8] world bbox (lo3, hi3, pad2)
+    bounds_lo: jnp.ndarray = None   # f32[3] world bounds over instances
+    bounds_hi: jnp.ndarray = None
+    count: int = static(default=0)        # instances
+    n_tris: int = static(default=0)       # total prototype triangles
+    n_entries: int = static(default=0)
+    block_cap: int = static(default=2048)
+    leaf_k: int = static(default=8)
+
+
+@pytree_dataclass
 class SceneData:
     quadrics: QuadricTable = None
     triangles: TriangleTable = None
@@ -314,6 +355,7 @@ class SceneData:
     volumes: VolumeTable = None
     camera: CameraData = None
     accel: Any = None               # GridAccel | None (brute force)
+    instances: InstanceTable = None  # ray-transform instancing, or None
     # Env-light importance tables (infinitesample): per env image id.
     env_importance: Any = None
     world_bound_lo: jnp.ndarray = None  # f32[3]

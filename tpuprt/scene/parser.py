@@ -8,7 +8,9 @@ numbers, brackets, # comments, nested Include), typed ParamSets
 scene-construction API — current transform + named coordinate systems
 (api.cpp:113-118, 213-222), hierarchical graphics state via
 AttributeBegin/End (api.cpp:274-304), object instancing (api.cpp:409-457,
-realized by geometry duplication under the instance CTM), world block
+realized by ray-transform instancing for mesh objects — shared prototype
+BLAS + per-instance transforms, accel/instances.py; area-light objects
+and quadrics fall back to duplication under the instance CTM), world block
 construction (api.cpp:458-529). Defaults mirror api.cpp:64-72.
 
 Output: (SceneData via SceneBuilder, RenderOptions).
@@ -230,6 +232,9 @@ class PbrtParser:
         self.objects: Dict[str, list] = {}
         self.current_object: Optional[str] = None
         self._exr_cache: Dict[str, int] = {}
+        # (object name, shape index) -> prototype id, so N instances of
+        # one object share ONE prototype BLAS (O(proto + N) memory).
+        self._proto_cache: Dict[Tuple[str, int], int] = {}
 
     # ------------------------------------------------------------------
     def parse_file(self, path: str):
@@ -371,9 +376,38 @@ class PbrtParser:
             self.current_object = None
             self.ctm = self.ctm_stack.pop()
         elif name == "ObjectInstance":
+            # Ray-transform instancing (core/primitive.cpp:66-85): mesh
+            # shapes become a shared prototype + per-instance transform.
+            # Area-light objects and quadrics fall back to duplication
+            # (instanced emission is unsupported; quadric BLAS rows only
+            # inline triangles).
             nm = ts.next()[1]
-            for (sn, sp, sctm, sgs) in self.objects.get(nm, []):
-                self._make_shape(sn, sp, self.ctm @ sctm, sgs)
+            for i, (sn, sp, sctm, sgs) in enumerate(self.objects.get(nm, [])):
+                mesh_kinds = ("trianglemesh", "loopsubdiv", "nurbs",
+                              "heightfield")
+                if sgs.area_light is None and sn in mesh_kinds:
+                    key = (nm, i)
+                    pid = self._proto_cache.get(key)
+                    if pid is None:
+                        mat = self._gs_material(sgs)
+                        if sn == "trianglemesh":
+                            P = sp.find_floats("P")
+                            idx = sp.find_ints("indices")
+                            N = sp.find_floats("N")
+                            uv = sp.find_floats("uv")
+                            if uv is None:
+                                uv = sp.find_floats("st")
+                        else:
+                            from .tessellate import tessellate
+                            P, idx, N, uv = tessellate(sn, sp)
+                        pid = self.builder.add_prototype(
+                            idx, P, N=N, uv=uv, material=mat,
+                            reverse_orientation=sgs.reverse_orientation,
+                            o2w=sctm)
+                        self._proto_cache[key] = pid
+                    self.builder.add_instance(pid, self.ctm)
+                else:
+                    self._make_shape(sn, sp, self.ctm @ sctm, sgs)
         elif name == "Volume":
             vol_name = ts.next()[1]
             params = ParamSet(parse_params(ts))
