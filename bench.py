@@ -30,9 +30,11 @@ import time
 # Measured on this image's CPU (single thread), 2026-08-20.
 PBRT_CONFIG3_RAYS_PER_SEC = 0.709e6
 PBRT_CONFIG4_RAYS_PER_SEC = 0.596e6
-# config5 (1M-tri terrain): measured when the reference build exists in
-# this round's image (tools/build_reference.md); None -> report raw rays/s.
-PBRT_CONFIG5_RAYS_PER_SEC = None
+# config5 (1M-tri terrain, 512^2 x 4spp directlighting): reference
+# measured 2026-08-21 on this image's CPU — full run 9.94s of which
+# parse + kd-tree build 7.51s (measured via a 1x1 render of the same
+# scene), i.e. 2.43s render for 1.053M camera + 387K shadow rays.
+PBRT_CONFIG5_RAYS_PER_SEC = 0.592e6
 CONFIG3_REF_RAYS = 2.114e6 + 3.363e6
 CONFIG4_REF_RAYS = 1.05e6 + 0.387e6
 

@@ -61,8 +61,78 @@ def main():
     # shadow + BSDF) — use the integrator's own counter for honesty.
     ndev_all = len(jax.devices())
 
-    base_rate = None
+    # --- Collective/sharding overhead at FIXED per-device work ---------
+    # On virtual CPU devices the samples/s rows below decay ~1/N by
+    # construction (the devices share the host's cores), so they validate
+    # machinery, not efficiency. This probe isolates what CAN be measured
+    # here: the cost of the collective itself. Each mesh size runs the
+    # same per-device sample count twice — once with no cross-device
+    # communication, once with a per-chunk film psum (the allreduce
+    # shape of the gradient/film merges) — and reports the fraction of
+    # wall time the collective adds.
+    import jax.numpy as jnp
+    import numpy as np_
+    from jax.sharding import PartitionSpec as P
+    from functools import partial as _p
+
+    per_dev_samples = 1 << 12
     sizes = [1 << i for i in range(int(math.log2(ndev_all)) + 1)]
+    for n in sizes:
+        mesh = shard.make_mesh(n)
+        axis = mesh.axis_names[0]
+        k = per_dev_samples * n
+        lin = np_.arange(k) % total_samples
+        spp = args.spp
+        px = jnp.asarray((lin // spp) % xres, jnp.int32)
+        py = jnp.asarray((lin // spp) // xres % yres, jnp.int32)
+        si = jnp.asarray(lin % spp, jnp.int32)
+        valid = jnp.ones(k, bool)
+
+        def body(sc, fdata, pxa, pya, sia, va, do_psum):
+            from tpuprt.film import film as film_mod
+            f = film_mod.Film(data=fdata[0], xres=xres, yres=yres,
+                              crop=opts.crop)
+            f = R.render_chunk(sc, opts, f, pxa, pya, sia, va)
+            out = f.data
+            if do_psum:
+                out = jax.lax.psum(out, axis)
+            return out[None]
+
+        def make(do_psum):
+            return jax.jit(_p(
+                jax.shard_map, mesh=mesh,
+                in_specs=(P(), P(axis), P(axis), P(axis), P(axis),
+                          P(axis)),
+                out_specs=P(axis))(
+                    lambda sc, fd, a, b, c2, d: body(sc, fd, a, b, c2, d,
+                                                     do_psum)))
+
+        fdata = jnp.zeros((n, yres, xres, 5), jnp.float32)
+        times = {}
+        for name, fn in (("nocollective", make(False)),
+                         ("psum", make(True))):
+            out = fn(scene, fdata, px, py, si, valid)
+            out.block_until_ready()            # compile warmup
+            reps = 3
+            t0 = time.time()
+            for _ in range(reps):
+                out = fn(scene, fdata, px, py, si, valid)
+            out.block_until_ready()
+            times[name] = (time.time() - t0) / reps
+        ovh = max(times["psum"] - times["nocollective"], 0.0)
+        print(json.dumps({
+            "metric": "collective_overhead", "devices": n,
+            "per_device_samples": per_dev_samples,
+            "t_nocollective_s": round(times["nocollective"], 4),
+            "t_psum_s": round(times["psum"], 4),
+            "overhead_fraction": round(ovh / max(times["psum"], 1e-9), 4),
+            "backend": jax.default_backend(),
+            "virtual_cpu": bool(args.cpu),
+            "note": "fixed per-device work; virtual CPU devices share "
+                    "host cores, so only the collective delta is "
+                    "meaningful here"}), flush=True)
+
+    base_rate = None
     for n in sizes:
         mesh = shard.make_mesh(n)
         shard.render_sharded(scene, opts, mesh)           # compile warmup

@@ -52,19 +52,49 @@ def _compare(i, spp=None, tol_rel=0.08, tol_mean=0.05):
     assert rel < tol_rel, f"config{i}: blurred rel err {rel:.4f}"
 
 
+# Tolerances are ~2x the agreement measured 2026-08-21 against freshly
+# rebuilt reference goldens at the raised sample counts (config2 8->32
+# spp, config4 4->16 spp; VERDICT r3 item 6): observed blurred-rel
+# 1.1% / 1.9% / 9.9% / 0.4% for configs 1-4.
+
+
 def test_golden1_whitted_sphere():
-    _compare(1, tol_rel=0.05, tol_mean=0.03)
+    _compare(1, tol_rel=0.025, tol_mean=0.015)
 
 
 def test_golden2_grid_mesh_arealight():
-    _compare(2, tol_rel=0.10, tol_mean=0.04)
+    _compare(2, tol_rel=0.04, tol_mean=0.015)
 
 
 def test_golden3_path_cornell():
-    # Render at 8 spp vs the 32-spp golden: blurred comparison absorbs
-    # the extra noise; keeps CPU test time bounded.
-    _compare(3, spp=8, tol_rel=0.20, tol_mean=0.06)
+    # Full 32 spp vs the 32-spp golden; the residual is two independent
+    # 32-spp noise realizations through glass caustics.
+    _compare(3, tol_rel=0.15, tol_mean=0.04)
 
 
 def test_golden4_kdtree_textured_env():
-    _compare(4, tol_rel=0.05, tol_mean=0.04)
+    _compare(4, tol_rel=0.02, tol_mean=0.01)
+
+
+# GI-integrator parity (VERDICT r3 item 6: photonmap/exphotonmap/igi/
+# irradiancecache previously had NO image test vs the reference).
+# Observed blurred-rel 2026-08-21: 5.2% / 5.4% / 20.5% / 9.7%; igi's
+# wide band is structural (each renderer draws different virtual-light
+# sets, so the blurred images differ by correlated splotches even though
+# the means agree to ~5%).
+
+
+def test_golden6_photonmap():
+    _compare(6, tol_rel=0.10, tol_mean=0.05)
+
+
+def test_golden7_exphotonmap():
+    _compare(7, tol_rel=0.10, tol_mean=0.05)
+
+
+def test_golden8_igi():
+    _compare(8, tol_rel=0.30, tol_mean=0.10)
+
+
+def test_golden9_irradiancecache():
+    _compare(9, tol_rel=0.15, tol_mean=0.06)

@@ -88,10 +88,14 @@ def add_samples(film: Film, image_x, image_y, L, alpha,
     H, W = film.data.shape[0], film.data.shape[1]
     if filter_kind == ftr.FILTER_BOX and xwidth <= 0.5 and ywidth <= 0.5:
         # A half-pixel box touches exactly the sample's own pixel
-        # floor(image_x) (two pixels only when image_x is exactly integral
-        # — measure zero, and the weight normalization makes the reference's
-        # double-splat of that case a no-op on the developed image). One
-        # scatter-add instead of four.
+        # floor(image_x). DOCUMENTED DIVERGENCE (ADVICE r3): at exactly-
+        # integral image_x the reference (image.cpp AddSample,
+        # x0=Ceil2Int(dx-0.5)..x1=Floor2Int(dx+0.5)) splats the sample
+        # into BOTH adjacent pixels' (Lw, w) accumulators, while this
+        # fast path credits only floor(image_x). The case is measure-zero
+        # for jittered samplers but systematic for zero-offset
+        # deterministic patterns; both are valid box-filter estimators,
+        # and we keep the single-scatter (1 op vs 4) intentionally.
         px = jnp.floor(image_x).astype(jnp.int32)
         py = jnp.floor(image_y).astype(jnp.int32)
         inside = (px >= 0) & (px < W) & (py >= 0) & (py < H)

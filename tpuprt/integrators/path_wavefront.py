@@ -438,8 +438,11 @@ def _jrun(scene, film, st, cursor, *, cfg, seed, max_depth, total, xres,
     the loop against bugs (it is loose: every sample terminates within
     max_depth+1 passes of its regeneration).
     """
-    stats0 = jnp.zeros((3,), jnp.float64 if jax.config.jax_enable_x64
-                       else jnp.float32)
+    # Counters as (millions, units) f32 pairs: a single f32 accumulator
+    # loses increments past 2^24 (~16.7M segments — any moderately large
+    # render; ADVICE r3). Per-pass increments are < 2^21 (lane count), so
+    # the units column stays exact; the carry keeps totals exact to 2^44.
+    stats0 = jnp.zeros((3, 2), jnp.float32)
 
     def cond(c):
         _film, st_c, _cur, _stats, npass = c
@@ -451,8 +454,11 @@ def _jrun(scene, film, st, cursor, *, cfg, seed, max_depth, total, xres,
             scene, film_c, st_c, cur_c, cfg, seed, max_depth, 3, total,
             xres, yres, xstart, xcount, ystart, spp, filter_kind,
             filter_xwidth, filter_ywidth, vol_integrator, mode, strategy)
-        stats_c = stats_c + jnp.stack(
+        units = stats_c[:, 1] + jnp.stack(
             [n_active, n_shadow, (n_active > 0).astype(n_active.dtype)])
+        carry = jnp.floor(units / 1e6)
+        stats_c = jnp.stack([stats_c[:, 0] + carry, units - carry * 1e6],
+                            axis=1)
         return (film_c, st_c, cur_c, stats_c, npass + 1)
 
     film, st, cursor, stats, npass = jax.lax.while_loop(
@@ -530,10 +536,10 @@ def render(scene: SceneData, opts, progress: bool = False, stats=None):
             opts.max_depth + 8
         film, dev_stats, _npass = _jrun(scene, film, st, cursor,
                                         pass_limit=pass_limit, **step_kw)
-        dev_stats = np.asarray(dev_stats)
-        segments, shadow, passes = (float(dev_stats[0]),
-                                    float(dev_stats[1]),
-                                    int(dev_stats[2]))
+        dev_stats = np.asarray(dev_stats, np.float64)
+        totals = dev_stats[:, 0] * 1e6 + dev_stats[:, 1]
+        segments, shadow, passes = (float(totals[0]), float(totals[1]),
+                                    int(totals[2]))
     else:
         from ..utils.progress import ProgressReporter
         rep = ProgressReporter(total, "Rendering")

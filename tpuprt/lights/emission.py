@@ -98,12 +98,51 @@ def sample_emission(scene: SceneData, light_id, u1, u2, u3, u4, u5):
     if LIGHT_AREA in kp:
         is_quad = g(lights.area_geom_kind) == AREA_GEOM_QUADRIC
         if scene.quadrics.count > 0:
+            # Shape::Sample(u1, u2, &ns) per quadric kind (the reference
+            # emits photons from the actual surface, AreaLight::Sample_L
+            # area.cpp:83-92 -> shape->Sample). Sampling every quadric as
+            # a sphere put disk-light photons on a phantom sphere — half
+            # of them emitted into the wrong half-space, contaminating
+            # exphotonmap's radiance photons near the light (r4 fix).
+            from ..scene.data import QUADRIC_SPHERE, QUADRIC_DISK
             qid = jnp.clip(g(lights.area_first), 0, scene.quadrics.count - 1)
             center = scene.quadrics.o2w[:, :3, 3][qid]
-            radius = scene.quadrics.params[qid][..., 0]
+            qkind = scene.quadrics.kind[qid]
+            pq = scene.quadrics.params[qid]
+            radius = pq[..., 0]
             sph = mc.uniform_sample_sphere(u1, u2)
-            ps_q = center + radius[..., None] * sph
-            ns_q = sph * scene.quadrics.flip_normal[qid][..., None]
+            ps_sph = center + radius[..., None] * sph
+            ns_sph = sph
+            # Disk params [height, radius, inner, phimax]: sqrt-lerp in
+            # r^2 = uniform area over the annulus sector (disk.cpp:36-44).
+            d_h, d_r, d_ri, d_ph = (pq[..., 0], pq[..., 1], pq[..., 2],
+                                    pq[..., 3])
+            rr_d = jnp.sqrt(d_ri * d_ri + u1 * (d_r * d_r - d_ri * d_ri))
+            phi_d = u2 * d_ph
+            disk_ps = jnp.stack([rr_d * jnp.cos(phi_d),
+                                 rr_d * jnp.sin(phi_d), d_h], -1)
+            disk_ns = jnp.concatenate(
+                [jnp.zeros(B + (2,)), jnp.ones(B + (1,))], -1)
+            # Cylinder params [radius, zmin, zmax, phimax].
+            c_r, c_z0, c_z1, c_ph = (pq[..., 0], pq[..., 1], pq[..., 2],
+                                     pq[..., 3])
+            phi_c = u2 * c_ph
+            zc = c_z0 + u1 * (c_z1 - c_z0)
+            cyl_ps = jnp.stack([c_r * jnp.cos(phi_c),
+                                c_r * jnp.sin(phi_c), zc], -1)
+            cyl_ns = jnp.stack([jnp.cos(phi_c), jnp.sin(phi_c),
+                                jnp.zeros_like(zc)], -1)
+            is_disk = (qkind == QUADRIC_DISK)[..., None]
+            obj_ps = jnp.where(is_disk, disk_ps, cyl_ps)
+            obj_ns = jnp.where(is_disk, disk_ns, cyl_ns)
+            rows_o2w = tf.row_components(scene.quadrics.o2w, qid)
+            rows_w2o = tf.row_components(scene.quadrics.w2o, qid)
+            ps_flat = tf.rows_apply_point(rows_o2w, obj_ps)
+            ns_flat = vm.normalize(tf.rows_apply_normal(rows_w2o, obj_ns))
+            sphere_kind = (qkind == QUADRIC_SPHERE)[..., None]
+            ps_q = jnp.where(sphere_kind, ps_sph, ps_flat)
+            ns_q = jnp.where(sphere_kind, ns_sph, ns_flat)
+            ns_q = ns_q * scene.quadrics.flip_normal[qid][..., None]
         else:
             ps_q, ns_q = o, zeros3
         if scene.triangles.count > 0:

@@ -294,9 +294,14 @@ class BvhAccel:
     and gathers are the dominant TPU cost."""
     bounds_lo: jnp.ndarray = None   # f32[3]
     bounds_hi: jnp.ndarray = None   # f32[3]
-    # Packed rows: [lo0..2, hi0..2, skip, first_slot, nprims, pad x3].
-    nodes: jnp.ndarray = None       # f32[NN, 12]
-    prim_ids: jnp.ndarray = None    # i32[n_leaf*K], -1 padded
+    # Packed 96-float rows (padded to 128 for the Pallas kernel):
+    #   [lo(3), hi(3), skip, nprims,
+    #    interior: rank-indexed child preorder ids (cols 8..15) + the 3
+    #              split-level axes (cols 16..18);
+    #    leaf:     8 x 9 inlined triangle vertices (cols 8..79) + 8
+    #              global prim ids (cols 80..87)]
+    nodes: jnp.ndarray = None       # f32[NN, 96]
+    prim_ids: jnp.ndarray = None    # i32[NN*K], -1 padded
     tri9: jnp.ndarray = None        # f32[T, 9] packed world-space vertices
     n_nodes: int = static(default=1)
     leaf_k: int = static(default=4)
