@@ -38,9 +38,11 @@ def _toroidal_d2(a, b):
 def best_candidate_2d(n, rng, k0=10):
     pts = np.empty((n, 2), np.float32)
     pts[0] = rng.random(2)
+    # Candidate pool capped at 128 (the reference grows it linearly with
+    # the point count, but past ~100 candidates the min-distance gain is
+    # marginal while the cost is O(k n^2)).
     for i in range(1, n):
-        k = k0 * (i + 1) // 2 + 1
-        k = min(k, 2048)
+        k = min(k0 * (i + 1) // 2 + 1, 128)
         cand = rng.random((k, 2)).astype(np.float32)
         # toroidal min distance of each candidate to the accepted set
         d = np.abs(cand[:, None, :] - pts[None, :i, :])
