@@ -230,6 +230,13 @@ def render(scene: SceneData, opts: RenderOptions, progress: bool = False,
     spp = smp.samples_per_pixel(opts.sampler)
     total = xcount * ycount * spp
     chunk = min(opts.chunk_size, total)
+    if opts.integrator in ("photonmap", "exphotonmap"):
+        # Final gather multiplies the per-lane working set by
+        # gather_samples x (2 traversals + photon-grid sweeps); 64K-lane
+        # chunks exceed the TPU's per-program memory and kill the device
+        # (observed as UNAVAILABLE kernel faults). 16K lanes is safe and
+        # within ~10% of the large-chunk throughput.
+        chunk = min(chunk, 1 << 14)
 
     # Integrator preprocess (Scene::Render -> Preprocess, core/scene.cpp:38):
     # photon shooting happens here, before the camera-sample loop.
