@@ -437,6 +437,10 @@ SINGLE_MAX_NODES = 22000
 # Streamed-chunk size: 8192 rows = 4 MB per buffer; the pipeline
 # double-buffers, so ~8 MB of VMEM plus the small ray/output blocks.
 CHUNK_CAP = 8192
+# Streamed-traversal ray-group size: per-grid-step fixed cost dominates
+# culled chunks, so bigger groups than RAY_TILE win; A/B on config5_huge
+# full render: 2048->2.39s, 4096->2.25s, 8192->2.48s.
+CHUNK_TILE = 4096
 
 
 @functools.partial(jax.jit,
@@ -459,7 +463,11 @@ def traverse_chunked(nodes128, rays_packed, *, nn: int, leaf_k: int,
     from jax.experimental.pallas import tpu as pltpu
 
     N = rays_packed.shape[1]
-    tile = RAY_TILE
+    # Bigger ray groups than the single-table kernel: the streamed grid's
+    # per-step fixed cost (pipeline bookkeeping + chunk precheck) is the
+    # dominant term for culled chunks, so halving the group count wins
+    # even though 4096-ray packets have larger node-set unions.
+    tile = CHUNK_TILE
     assert N % tile == 0
     nn_pad = _ceil_to(nn, cap)
     n_chunks = nn_pad // cap
@@ -691,7 +699,8 @@ def intersect(bvh, o, d, mint, maxt, any_hit: bool = False,
         d = d[order]
         mint = mint[order]
         maxt = maxt[order]
-    Np = _ceil_to(max(N, 1), RAY_TILE)
+    pad_tile = CHUNK_TILE if bvh.n_nodes > SINGLE_MAX_NODES else RAY_TILE
+    Np = _ceil_to(max(N, 1), pad_tile)
     rays = jnp.concatenate(
         [o.T, d.T, mint[None], maxt[None]], axis=0)
     if Np != N:
