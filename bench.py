@@ -25,6 +25,7 @@ config4_value / config4_vs_baseline.
 """
 import json
 import os
+import sys
 import time
 
 # Measured on this image's CPU (single thread), 2026-08-20.
@@ -114,19 +115,45 @@ def bench_config5():
     return time.time() - t0, ntris
 
 
-def main():
+def _run_stage(stage):
+    """One workload, in THIS process. Prints its raw numbers as JSON."""
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/tpuprt_jax_cache")
     here = os.path.dirname(os.path.abspath(__file__))
+    if stage == "3":
+        dt3, stats = bench_config3(here)
+        print(json.dumps({"dt": dt3,
+                          "shadow": stats.get("Wavefront",
+                                              "Shadow rays traced")}))
+    elif stage == "4":
+        print(json.dumps({"dt": bench_config4(here)}))
+    elif stage == "5":
+        dt5, ntris5 = bench_config5()
+        print(json.dumps({"dt": dt5, "ntris": ntris5}))
 
-    dt3, stats = bench_config3(here)
+
+def _stage_subprocess(stage):
+    """Each workload in its OWN process: the TPU runtime allows only one
+    large-VMEM-resident Pallas executable per process (PERF_NOTES.md
+    backend constraints) — config4's whole-table kernel and config5's
+    streamed kernel crash the remote client if loaded together."""
+    import subprocess
+    r = subprocess.run([sys.executable, os.path.abspath(__file__),
+                        "--stage", stage],
+                       capture_output=True, text=True, check=True)
+    return json.loads(r.stdout.strip().splitlines()[-1])
+
+
+def main():
+    s3 = _stage_subprocess("3")
+    dt3, shadow = s3["dt"], s3["shadow"]
     rate3 = CONFIG3_REF_RAYS / dt3
-    shadow = stats.get("Wavefront", "Shadow rays traced")
 
-    dt4 = bench_config4(here)
+    dt4 = _stage_subprocess("4")["dt"]
     rate4 = CONFIG4_REF_RAYS / dt4
 
-    dt5, ntris5 = bench_config5()
+    s5 = _stage_subprocess("5")
+    dt5, ntris5 = s5["dt"], s5["ntris"]
     # Same counter convention as config4 (camera + shadow at the
     # reference's ratio): 512^2 x 4 spp camera rays; shadow ratio as
     # measured for the reference on config4 (0.387/1.05).
@@ -164,4 +191,8 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+    if len(sys.argv) > 2 and sys.argv[1] == "--stage":
+        _run_stage(sys.argv[2])
+    else:
+        main()
