@@ -112,3 +112,44 @@ def test_wavefront_serves_instanced_scenes():
     rgb_scan, _ = R.render(sc_i, opts._replace(driver="scan"))
     rgb_wf, _ = path_wavefront.render(sc_i, opts)
     np.testing.assert_allclose(rgb_wf, rgb_scan, atol=2e-4, rtol=2e-4)
+
+
+def test_instance_transform_gradient():
+    """d(hit distance)/d(instance translation) flows through the
+    instanced winner recompute (instances.recompute_t): traversal is
+    detached, geometry is differentiable."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from tpuprt.accel import instances as inst_mod
+
+    sc0, _ = load_scene_string(_instanced_text())
+    inst = sc0.instances
+
+    # Rays straight down onto the first pyramid instance's faces.
+    n = 64
+    g = np.linspace(-0.2, 0.2, 8)
+    gx, gz = np.meshgrid(g, g)
+    x0, z0 = PLACEMENTS[0]
+    o = jnp.asarray(np.stack([gx.ravel() + x0, np.full(n, 3.0),
+                              gz.ravel() + z0], -1), jnp.float32)
+    d = jnp.tile(jnp.asarray([[0.0, -1.0, 0.0]], jnp.float32), (n, 1))
+    mint = jnp.full((n,), 1e-3)
+    maxt = jnp.full((n,), 1e30)
+
+    def loss_of_dy(dy):
+        o2w = inst.inst_o2w.at[:, 1, 3].add(dy)
+        w2o = inst.inst_w2o.at[:, 1, 3].add(-dy)
+        it = dataclasses.replace(inst, inst_o2w=o2w, inst_w2o=w2o)
+        sc = dataclasses.replace(sc0, instances=it)
+        t, code, hit = inst_mod.intersect(it, o, d, mint, maxt)
+        t_d, ok = inst_mod.recompute_t(it, code, o, d, mint, hit)
+        use = hit & ok & (t_d < 1e6)
+        return jnp.sum(jnp.where(use, t_d, 0.0))
+
+    g_ad = float(jax.grad(loss_of_dy)(0.0))
+    eps = 1e-3
+    fd = (float(loss_of_dy(eps)) - float(loss_of_dy(-eps))) / (2 * eps)
+    # Raising the instance by dy shortens every down-ray's t by ~dy.
+    assert fd < 0, fd
+    assert abs(g_ad - fd) < 0.05 * abs(fd), (g_ad, fd)

@@ -153,11 +153,17 @@ def intersect(inst: InstanceTable, o, d, mint, maxt, any_hit=False):
         pad = jnp.zeros((8, Np - N), jnp.float32)
         pad = pad.at[6].set(1.0).at[7].set(-1.0)
         rays = jnp.concatenate([rays, pad], axis=1)
-    w2o12 = inst.inst_w2o[:, :3, :].reshape(inst.count, 12)
+    # Traversal is fully detached (standard accel discipline): gradients
+    # flow only through recompute_t's world-vertex math. Without the
+    # stop_gradients a jax.grad over instance transforms would try to
+    # differentiate the pallas_call itself.
+    sg = jax.lax.stop_gradient
+    w2o12 = sg(inst.inst_w2o)[:, :3, :].reshape(inst.count, 12)
     interp = jax.default_backend() != "tpu"
     t, tri, ii = bvh_pallas.traverse_instanced(
-        inst.nodes, inst.entry_block, inst.entry_inst, inst.entry_start,
-        inst.entry_stop, inst.entry_bbox, w2o12, rays,
+        sg(inst.nodes), inst.entry_block, inst.entry_inst,
+        inst.entry_start, inst.entry_stop, sg(inst.entry_bbox), w2o12,
+        rays,
         n_entries=inst.n_entries, n_inst=inst.count, cap=inst.block_cap,
         leaf_k=inst.leaf_k, any_hit=any_hit, interpret=interp)
     t = t[:N]
