@@ -11,5 +11,17 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 # Persistent compile cache: wavefront graphs are large; recompiling them on
 # every pytest run would dominate test time.
-jax.config.update("jax_compilation_cache_dir", "/tmp/tpuprt_jax_cache_cpu")
+# Cache dir keyed on the host CPU's feature set: this VM migrates across
+# heterogeneous machines between sessions, and XLA:CPU AOT entries from a
+# different host abort/SIGILL on deserialize (observed as Fatal aborts in
+# put_executable_and_time killing the whole pytest process).
+import hashlib, platform, subprocess
+try:
+    flags = subprocess.run(["grep", "-m1", "flags", "/proc/cpuinfo"],
+                           capture_output=True, text=True).stdout
+except Exception:
+    flags = platform.processor()
+_hostkey = hashlib.sha1(flags.encode()).hexdigest()[:10]
+jax.config.update("jax_compilation_cache_dir",
+                  f"/tmp/tpuprt_jax_cache_cpu_{_hostkey}")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
