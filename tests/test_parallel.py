@@ -6,18 +6,26 @@ from __graft_entry__ import dryrun_multichip, entry
 
 
 def test_dryrun_multichip_8():
-    assert len(jax.devices()) >= 8
-    # Persistent-cache WRITES of the big 8-device sharded executable have
-    # segfaulted inside jax's zstd serialization on this 2-CPU host
-    # (put_executable_and_time, observed 2026-08-21, killing the whole
-    # pytest process). Reads still hit; just don't write from this test.
-    old = jax.config.jax_persistent_cache_min_compile_time_secs
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
-    try:
-        dryrun_multichip(8)
-    finally:
-        jax.config.update("jax_persistent_cache_min_compile_time_secs",
-                          old)
+    # Run in a SUBPROCESS: compiling the big 8-device sharded gradient
+    # program segfaults XLA:CPU when it happens deep inside a long pytest
+    # process (observed 2026-08-21 in both backend_compile_and_load and
+    # the persistent-cache write; the same compile passes reliably in a
+    # fresh process — which is also how the driver invokes it).
+    import os
+    import subprocess
+    import sys
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
+                        " --xla_force_host_platform_device_count=8").strip()
+    code = ("import jax; jax.config.update('jax_platforms', 'cpu');\n"
+            "import __graft_entry__ as g; g.dryrun_multichip(8);\n"
+            "print('DRYRUN_OK')")
+    r = subprocess.run([sys.executable, "-c", code], env=env,
+                       capture_output=True, text=True, timeout=900,
+                       cwd=os.path.dirname(os.path.dirname(
+                           os.path.abspath(__file__))))
+    assert r.returncode == 0 and "DRYRUN_OK" in r.stdout, \
+        (r.returncode, r.stdout[-500:], r.stderr[-2000:])
 
 
 def test_entry_compiles():
