@@ -232,11 +232,13 @@ def render(scene: SceneData, opts: RenderOptions, progress: bool = False,
     chunk = min(opts.chunk_size, total)
     if opts.integrator in ("photonmap", "exphotonmap"):
         # Final gather multiplies the per-lane working set by
-        # gather_samples x (2 traversals + photon-grid sweeps); 64K-lane
+        # gather_samples x (2 traversals + photon-grid sweeps); large
         # chunks exceed the TPU's per-program memory and kill the device
-        # (observed as UNAVAILABLE kernel faults). 16K lanes is safe and
-        # within ~10% of the large-chunk throughput.
-        chunk = min(chunk, 1 << 14)
+        # (observed as UNAVAILABLE kernel faults). Measured safe bounds:
+        # photonmap 16K lanes; exphotonmap (adds the radiance-photon
+        # nearest lookup + reservoir direction sampling) 4K lanes.
+        chunk = min(chunk, 1 << (14 if opts.integrator == "photonmap"
+                                 else 12))
 
     # Integrator preprocess (Scene::Render -> Preprocess, core/scene.cpp:38):
     # photon shooting happens here, before the camera-sample loop.
