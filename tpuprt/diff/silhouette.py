@@ -109,7 +109,14 @@ def silhouette_surrogate(scene: SceneData, opts: R.RenderOptions, jump_fn,
     tri = scene.triangles
     if tri.count == 0:
         return jnp.float32(0.0)
-    edges_np, adj_np = mesh_edges(np.asarray(tri.idx))
+    try:
+        idx_np = np.asarray(tri.idx)
+    except Exception as e:
+        raise TypeError(
+            "silhouette_surrogate needs concrete mesh topology: build the "
+            "scene inside your loss fn (theta -> verts), don't trace the "
+            "whole scene pytree's int tables through jax.grad") from e
+    edges_np, adj_np = mesh_edges(idx_np)
     E = len(edges_np)
     edges = jnp.asarray(edges_np)
     adj = jnp.asarray(adj_np)
