@@ -224,19 +224,33 @@ def estimate_direct_multi(scene: SceneData, specs, p, n, wo,
         smp = lt.sample(scene, light_id, p, n, sp["ls1"], sp["ls2"],
                         sp["ls3"])
         f_val = B.f(bsdf, wo, smp["wi"])
-        rec = dict(sp=sp, smp=smp, f_val=f_val, seg1=len(segs), seg2=-1)
-        segs.append((p, smp["wi"], jnp.full(smp["pdf"].shape, _EPS),
-                     smp["vis_maxt"]))
+        # Lanes with a provably-zero contribution (inactive, zero pdf,
+        # black Li, or black BSDF toward the light) get DEGENERATE rays
+        # (mint 1 > maxt -1, empty slab window): the packet kernel walks
+        # the UNION of its rays' node sets, so a dead lane that still
+        # traverses widens every packet it sits in for nothing.
+        usable = active & (smp["pdf"] > 0.0) & \
+            ~jnp.all(smp["Li"] == 0.0, axis=-1)
+        need_vis = usable & ~jnp.all(f_val == 0.0, axis=-1)
+        rec = dict(sp=sp, smp=smp, f_val=f_val, need_vis=need_vis,
+                   seg1=len(segs), seg2=-1)
+        segs.append((p, smp["wi"],
+                     jnp.where(need_vis, _EPS, 1.0),
+                     jnp.where(need_vis, smp["vis_maxt"], -1.0)))
         needs.append("any")
         # Strategy 2 exists only for non-delta lights (transport.cpp:166):
         # a statically-delta light skips the BSDF sample AND its traversal.
         if sk is None or sk not in DELTA_KINDS:
             bs = B.sample_f(bsdf, wo, sp["bs1"], sp["bs2"], sp["bcs"],
                             B.ALL & ~B.SPECULAR)
+            go = active & ~smp["delta"] & bs["valid"] & \
+                (bs["pdf"] > 0.0) & ~jnp.all(bs["f"] == 0.0, axis=-1)
             rec["bs"] = bs
+            rec["go"] = go
             rec["seg2"] = len(segs)
-            segs.append((p, bs["wi"], jnp.full(bs["pdf"].shape, _EPS),
-                         jnp.full(bs["pdf"].shape, 1e30)))
+            segs.append((p, bs["wi"],
+                         jnp.where(go, _EPS, 1.0),
+                         jnp.where(go, 1e30, -1.0)))
             # Nearest-hit needed only when the strategy-2 ray must identify
             # an AREA light at its hit; statically-INFINITE lights only
             # need the escape predicate (transport.cpp:181-188).
@@ -258,8 +272,7 @@ def estimate_direct_multi(scene: SceneData, specs, p, n, wo,
         light_pdf = smp["pdf"]
         Li = smp["Li"]
         f_val = rec["f_val"]
-        usable = active & (light_pdf > 0.0) & ~jnp.all(Li == 0.0, axis=-1)
-        need_vis = usable & ~jnp.all(f_val == 0.0, axis=-1)
+        need_vis = rec["need_vis"]
         occ = vis[rec["seg1"]]      # NEE segments always resolve as "any"
         unocc = need_vis & ~occ
         if has_vols:
@@ -279,9 +292,7 @@ def estimate_direct_multi(scene: SceneData, specs, p, n, wo,
             wi2 = bs["wi"]
             f2 = bs["f"]
             bpdf = bs["pdf"]
-            non_delta = active & ~smp["delta"]
-            go = non_delta & bs["valid"] & (bpdf > 0.0) & \
-                ~jnp.all(f2 == 0.0, axis=-1)
+            go = rec["go"]
             lpdf2 = lt.pdf(scene, light_id, p, n, wi2)
             v2 = vis[rec["seg2"]]
             if needs[rec["seg2"]] == "nearest":
