@@ -157,16 +157,20 @@ def _whitted_ld(scene, p, ns, wo, bsdf, ph, s_idx, bounce, alive):
         ls3 = rng.uniform(ph, s_idx, bounce, i, 3)
         sm = lt.sample(scene, lid, p, ns, ls1, ls2, ls3)
         f_val = B.f(bsdf, wo, sm["wi"])
-        samples.append((sm, f_val))
-        segs.append((p, sm["wi"], jnp.full((n_rays,), _EPS),
-                     sm["vis_maxt"]))
+        ok = alive & (sm["pdf"] > 0.0) & ~jnp.all(sm["Li"] == 0.0, axis=-1)
+        need = ok & ~jnp.all(f_val == 0.0, axis=-1)
+        samples.append((sm, f_val, need))
+        # Degenerate rays for provably-zero lanes (see
+        # common.estimate_direct_multi): empty windows keep dead lanes
+        # out of the packet kernel's node-set unions.
+        segs.append((p, sm["wi"],
+                     jnp.where(need, _EPS, 1.0),
+                     jnp.where(need, sm["vis_maxt"], -1.0)))
     if not segs:
         return jnp.zeros_like(p)
     vis = common.batched_visibility(scene, segs, ["any"] * len(segs))
     Ld = jnp.zeros_like(p)
-    for (sm, f_val), occ in zip(samples, vis):
-        ok = alive & (sm["pdf"] > 0.0) & ~jnp.all(sm["Li"] == 0.0, axis=-1)
-        need = ok & ~jnp.all(f_val == 0.0, axis=-1)
+    for (sm, f_val, need), occ in zip(samples, vis):
         contrib = f_val * sm["Li"] * \
             (vm.absdot(sm["wi"], ns) /
              jnp.maximum(sm["pdf"], 1e-20))[..., None]
