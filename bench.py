@@ -38,6 +38,10 @@ PBRT_CONFIG4_RAYS_PER_SEC = 0.596e6
 PBRT_CONFIG5_RAYS_PER_SEC = 0.592e6
 CONFIG3_REF_RAYS = 2.114e6 + 3.363e6
 CONFIG4_REF_RAYS = 1.05e6 + 0.387e6
+# Reference-measured ray count for the config5 run itself (1.053M camera
+# + 387K shadow over the 2.43s render) — the same equal-work convention
+# as config4, replacing the estimated count ADVICE r4 flagged.
+CONFIG5_REF_RAYS = 1.053e6 + 0.387e6
 
 
 def bench_config3(here):
@@ -116,14 +120,17 @@ def build_config5_scene(n=708):
 
 def bench_config5():
     from tpuprt import render as R
+    from tpuprt.utils.stats import StatsRegistry
     scene, opts, ntris = build_config5_scene()
     R.render(scene, opts)                        # warmup/compile
+    stats = StatsRegistry()
     dt = 1e30
     for _ in range(3):
         t0 = time.time()
-        R.render(scene, opts)
+        R.render(scene, opts, stats=stats)
         dt = min(dt, time.time() - t0)
-    return dt, ntris
+    shadow = stats.get("Wavefront", "Shadow rays traced") or 0
+    return dt, ntris, int(shadow)
 
 
 def _run_stage(stage):
@@ -139,8 +146,8 @@ def _run_stage(stage):
     elif stage == "4":
         print(json.dumps({"dt": bench_config4(here)}))
     elif stage == "5":
-        dt5, ntris5 = bench_config5()
-        print(json.dumps({"dt": dt5, "ntris": ntris5}))
+        dt5, ntris5, shadow5 = bench_config5()
+        print(json.dumps({"dt": dt5, "ntris": ntris5, "shadow": shadow5}))
 
 
 def _stage_subprocess(stage):
@@ -165,11 +172,9 @@ def main():
 
     s5 = _stage_subprocess("5")
     dt5, ntris5 = s5["dt"], s5["ntris"]
-    # Same counter convention as config4 (camera + shadow at the
-    # reference's ratio): 512^2 x 4 spp camera rays; shadow ratio as
-    # measured for the reference on config4 (0.387/1.05).
-    config5_rays = 512 * 512 * 4 * (1.0 + 0.387 / 1.05)
-    rate5 = config5_rays / dt5
+    # Same equal-work convention as config3/config4: the REFERENCE's
+    # measured ray count for this exact workload over our wall time.
+    rate5 = CONFIG5_REF_RAYS / dt5
     extra5 = {}
     if PBRT_CONFIG5_RAYS_PER_SEC:
         extra5["config5_vs_baseline"] = round(
@@ -195,6 +200,7 @@ def main():
                           f"{ntris5}-tri terrain, streamed-chunk BVH)",
         "config5_value": round(rate5, 1),
         "config5_wall_s": round(dt5, 3),
+        "config5_our_shadow_rays": s5.get("shadow", 0),
         **extra5,
         "baseline_note": "pbrt-v1 measured on this image's CPU, same "
                          "scenes/counters (tools/build_reference.md)",

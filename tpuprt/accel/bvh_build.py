@@ -151,6 +151,85 @@ def build_rows(lo, hi, nq, tri9):
     return _build_python_lbvh(lo, hi, nq, tri9)
 
 
+MAX_TILE_DEPTH = 32
+
+
+def build_tiles(rows, prim_ids, nn: int, leaf_k: int = LEAF_K):
+    """Re-pack skip-link rows into the param-major tile format consumed
+    by ops/bvh_pallas (the "tile walk"; see scene/data.BvhAccel.nodesT).
+
+    Row n (128 f32 lanes): lanes [8k, 8k+8) hold PARAM k of the node's 8
+    payload slots — interior: child j's [lo(3), hi(3)] (6 params); leaf:
+    triangle j's [p0(3), e1(3), e2(3), pid] (10 params). The kernel
+    transposes the row to (128, 1) once per visit, so slab / Möller-
+    Trumbore tests run as (8,1) x (1,128) sublane-by-lane outer products
+    covering all 8 children / triangles at once. skip links and packed
+    meta (depth | rank<<5 | nprims<<8) live in separate i32 tables read
+    from SMEM: the traversal cursor is then a PURE SCALAR chain — the r4
+    kernel's per-visit vector->scalar sync (~0.6 us measured) only
+    remains at entered interior nodes (their child masks feed the walk).
+
+    Returns (tilesP f32[NN,128], skip i32[NN], meta i32[NN],
+    selfbb f32[NN,8]) or None when the tree is deeper than the walk's
+    per-depth mask array (callers fall back to the row kernels).
+    """
+    rows = np.asarray(rows)
+    prim_ids = np.asarray(prim_ids).reshape(nn, leaf_k)
+    skip = rows[:nn, 6].astype(np.int64)
+    nprims = rows[:nn, 7].astype(np.int32)
+
+    # Preorder walk: depth + rank (sibling index in emission order) +
+    # parent, from the skip links alone — builder-independent.
+    depth = np.zeros(nn, np.int32)
+    rank = np.zeros(nn, np.int32)
+    parent = np.full(nn, -1, np.int64)
+    stack = []                     # [end, node, children_so_far]
+    for i in range(nn):
+        while stack and stack[-1][0] <= i:
+            stack.pop()
+        if stack:
+            top = stack[-1]
+            depth[i] = len(stack)
+            rank[i] = top[2]
+            parent[i] = top[1]
+            top[2] += 1
+        if nprims[i] == 0:
+            stack.append([skip[i], i, 0])
+    if nn and int(depth.max()) >= MAX_TILE_DEPTH:
+        return None
+    if rank.max(initial=0) >= BRANCH:
+        return None
+
+    tiles = np.zeros((nn, 16, 8), np.float32)   # [node, param, slot]
+    interior = nprims == 0
+    # Interior: empty child slots get inverted boxes (never entered).
+    tiles[interior, 0:3, :] = 1e30
+    tiles[interior, 3:6, :] = -1e30
+    nonroot = parent >= 0
+    p = parent[nonroot]
+    r = rank[nonroot]
+    bb = rows[:nn][nonroot]
+    for k in range(6):
+        tiles[p, k, r] = bb[:, k]
+    # Leaves: slot j = triangle j as [p0, e1, e2, pid]; empty slots are
+    # all-zero with pid -1 (MT divisor 0 -> invalid).
+    L = ~interior
+    if L.any():
+        verts = rows[:nn][L][:, 8:8 + 9 * leaf_k].reshape(-1, leaf_k, 9)
+        p0 = verts[:, :, 0:3]
+        tiles[L, 0:3, :leaf_k] = p0.transpose(0, 2, 1)
+        tiles[L, 3:6, :leaf_k] = (verts[:, :, 3:6] - p0).transpose(0, 2, 1)
+        tiles[L, 6:9, :leaf_k] = (verts[:, :, 6:9] - p0).transpose(0, 2, 1)
+        tiles[L, 9, :leaf_k] = prim_ids[L].astype(np.float32)
+        tiles[L, 9, leaf_k:] = -1.0
+    meta = depth | (rank << 5) | (nprims << 8)
+    selfbb = np.concatenate([rows[:nn, 0:6],
+                             np.zeros((nn, 2), np.float32)],
+                            axis=1).astype(np.float32)
+    return (np.ascontiguousarray(tiles.reshape(nn, 128)),
+            skip.astype(np.int32), meta.astype(np.int32), selfbb)
+
+
 def build_bvh(scene: SceneData) -> BvhAccel:
     lo, hi = _prim_bounds(scene)
     lo = lo.astype(np.float32)
@@ -172,10 +251,19 @@ def build_bvh(scene: SceneData) -> BvhAccel:
     dp = jax.device_put
     pad = 1e-4 * max(np.abs(lo).max(initial=0),
                      np.abs(hi).max(initial=0)) + 1e-4
+    # Tile format for the sublane-vectorized Pallas walk; quadric-bearing
+    # scenes keep rows only (the tile kernel is triangle-pure, like the
+    # row packet kernel — accel/bvh.py routes quadrics to the jnp walk).
+    tiles = nskip = nmeta = selfbb = None
+    if nq == 0:
+        built = build_tiles(rows, prim_ids, nn, LEAF_K)
+        if built is not None:
+            tiles, nskip, nmeta, selfbb = (dp(a) for a in built)
     return BvhAccel(
         bounds_lo=dp(lo.min(0) - pad), bounds_hi=dp(hi.max(0) + pad),
         nodes=dp(rows), prim_ids=dp(prim_ids.reshape(-1)),
-        tri9=dp(tri9), n_nodes=nn, leaf_k=LEAF_K, n_quadrics=nq)
+        tri9=dp(tri9), nodesT=tiles, nodeskip=nskip, nodemeta=nmeta,
+        selfbb=selfbb, n_nodes=nn, leaf_k=LEAF_K, n_quadrics=nq)
 
 
 def _build_python_lbvh(lo, hi, nq, tri9):

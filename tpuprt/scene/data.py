@@ -303,6 +303,15 @@ class BvhAccel:
     nodes: jnp.ndarray = None       # f32[NN, 96]
     prim_ids: jnp.ndarray = None    # i32[NN*K], -1 padded
     tri9: jnp.ndarray = None        # f32[T, 9] packed world-space vertices
+    # Tile-walk format (bvh_build.build_tiles; ops/bvh_pallas tile
+    # kernels): param-major 128-lane rows — lanes [8k, 8k+8) = param k of
+    # the node's 8 payload slots (interior: child bboxes; leaf: triangle
+    # p0/e1/e2/pid). skip/meta (depth | rank<<5 | nprims<<8) are separate
+    # i32 tables read from SMEM so the traversal cursor is scalar-only.
+    nodesT: jnp.ndarray = None      # f32[NN, 128] (None -> row kernels)
+    nodeskip: jnp.ndarray = None    # i32[NN]
+    nodemeta: jnp.ndarray = None    # i32[NN]
+    selfbb: jnp.ndarray = None      # f32[NN, 8]: own [lo, hi, pad2]
     n_nodes: int = static(default=1)
     leaf_k: int = static(default=4)
     n_quadrics: int = static(default=0)
