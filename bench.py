@@ -36,6 +36,10 @@ PBRT_CONFIG4_RAYS_PER_SEC = 0.596e6
 # parse + kd-tree build 7.51s (measured via a 1x1 render of the same
 # scene), i.e. 2.43s render for 1.053M camera + 387K shadow rays.
 PBRT_CONFIG5_RAYS_PER_SEC = 0.592e6
+# bench6 (photonmap + 16-sample final gather, 256^2 x 4spp Cornell +
+# mirror, scenes/bench6.pbrt): reference wall measured 2026-08-21 on this
+# image's CPU, single thread (2.5s shooting + render; tools/refbuild).
+PBRT_BENCH6_WALL = 80.0
 CONFIG3_REF_RAYS = 2.114e6 + 3.363e6
 CONFIG4_REF_RAYS = 1.05e6 + 0.387e6
 # Reference-measured ray count for the config5 run itself (1.053M camera
@@ -69,9 +73,10 @@ def bench_config4(here):
 
     scene, opts = load_scene(os.path.join(here, "scenes",
                                           "config4_big.pbrt"))
-    # 256K lanes measured fastest (131K: 1.01s, 256K: 0.94s, 512K: 0.95s):
-    # fewer regeneration passes amortize the per-pass fixed costs.
-    opts = opts._replace(chunk_size=1 << 18)
+    # r5 sweep: 2^16 0.684s, 2^17 0.685s, 2^18 0.705s, 2^19 0.711s — the
+    # tile walk amortizes per-pass fixed costs in-kernel, so smaller
+    # pools (tighter sort bands) now win slightly.
+    opts = opts._replace(chunk_size=1 << 17)
     R.render(scene, opts)                        # warmup/compile
     dt = 1e30
     for _ in range(3):
@@ -133,6 +138,23 @@ def bench_config5():
     return dt, ntris, int(shadow)
 
 
+def bench_config6(here):
+    """Photon mapping with final gather (the GI headline; VERDICT r4
+    item 2) — full pipeline per run: photon shooting + map builds +
+    wavefront render, same as the reference's wall clock."""
+    from tpuprt.scene.parser import load_scene
+    from tpuprt import render as R
+
+    scene, opts = load_scene(os.path.join(here, "scenes", "bench6.pbrt"))
+    R.render(scene, opts)                        # warmup/compile
+    dt = 1e30
+    for _ in range(2):
+        t0 = time.time()
+        R.render(scene, opts)
+        dt = min(dt, time.time() - t0)
+    return dt
+
+
 def _run_stage(stage):
     """One workload, in THIS process. Prints its raw numbers as JSON."""
     import jax
@@ -148,6 +170,8 @@ def _run_stage(stage):
     elif stage == "5":
         dt5, ntris5, shadow5 = bench_config5()
         print(json.dumps({"dt": dt5, "ntris": ntris5, "shadow": shadow5}))
+    elif stage == "6":
+        print(json.dumps({"dt": bench_config6(here)}))
 
 
 def _stage_subprocess(stage):
@@ -181,6 +205,8 @@ def main():
             rate5 / PBRT_CONFIG5_RAYS_PER_SEC, 3)
         extra5["config5_baseline_rays_per_sec"] = PBRT_CONFIG5_RAYS_PER_SEC
 
+    dt6 = _stage_subprocess("6")["dt"]
+
     print(json.dumps({
         "metric": "primary+shadow rays/sec/chip (config3 Cornell path)",
         "value": round(rate3, 1),
@@ -202,6 +228,11 @@ def main():
         "config5_wall_s": round(dt5, 3),
         "config5_our_shadow_rays": s5.get("shadow", 0),
         **extra5,
+        "photonmap_metric": "photonmap+finalgather wall vs pbrt-v1 "
+                            "(bench6, 256^2x4spp, shooting included)",
+        "photonmap_wall_s": round(dt6, 3),
+        "photonmap_vs_baseline": round(PBRT_BENCH6_WALL / dt6, 3),
+        "photonmap_baseline_wall_s": PBRT_BENCH6_WALL,
         "baseline_note": "pbrt-v1 measured on this image's CPU, same "
                          "scenes/counters (tools/build_reference.md)",
     }))

@@ -141,6 +141,48 @@ def test_closedform_checker_antialiases():
         np.testing.assert_allclose(wide[nid][:, 0], wide_expect, atol=0.05)
 
 
+def test_supersample_checker_between_none_and_closedform():
+    """aamode "supersample" (checkerboard.cpp:86-141): 16 stratified
+    in-footprint samples. On a footprint spanning ~1.5 cells it must land
+    strictly between point sampling (raw cell color) and the closed form
+    (near-exact box average); on huge footprints it approaches 0.5."""
+    from tpuprt.textures.graph import eval_graph
+
+    def build(aamode):
+        b = SceneBuilder()
+        t1 = b.constant_texture((1.0, 1.0, 1.0))
+        t2 = b.constant_texture((0.0, 0.0, 0.0))
+        v = np.zeros(16, np.float32)
+        v[8] = v[9] = 1.0
+        nid = b.add_texture(TexNodeMeta(kind="checkerboard2d",
+                                        children=(t1, t2), aamode=aamode),
+                            fparams=v)
+        mat = b.add_material("matte", [nid, b.constant_texture(0.0)])
+        b.add_trianglemesh(np.eye(4), [[0, 1, 2]],
+                           np.asarray([[0, 0, 0], [1, 0, 0], [0, 1, 0]],
+                                      np.float32), material=mat)
+        return b.build(), nid
+
+    def val(mode, foot):
+        scene, nid = build(mode)
+        out = np.asarray(eval_graph(scene.textures, scene.images,
+                                    _dg([0.25], 0.25, dudx=foot,
+                                        dvdy=foot)))
+        return float(out[nid][0, 0])
+
+    # Narrow footprint: all three modes agree on the raw cell color.
+    assert abs(val("supersample", 1e-6) - 1.0) < 1e-5
+    # Footprint 1.5 cells wide centered inside a white cell: supersample
+    # must blend (unlike none's raw 1.0) and land near the closed-form
+    # box average.
+    ss = val("supersample", 1.5)
+    cf = val("closedform", 1.5)
+    assert val("none", 1.5) == 1.0
+    assert ss < 1.0 - 0.02 and abs(ss - cf) < 0.15, (ss, cf)
+    # Huge footprint: converges toward the 0.5 mean like the closed form.
+    assert abs(val("supersample", 16.0) - 0.5) < 0.1
+
+
 def test_differentials_wired_through_integrator():
     """End-to-end: whitted.li with auxiliary rays must produce filtered
     texture lookups (spatially smooth radiance over a checkered plane),

@@ -83,9 +83,14 @@ def test_caustic_photons_under_glass_sphere():
     maps = pm.build_maps(scene, prm, seed=0)
     assert maps.caustic.count > 1000, maps.caustic.count
     p = np.asarray(maps.caustic.p)[: maps.caustic.count]
+    al = np.asarray(maps.caustic.alpha)[: maps.caustic.count].mean(-1)
     horiz = np.sqrt(p[:, 0] ** 2 + p[:, 2] ** 2)
     # Light above the sphere focuses transmitted photons under it.
-    frac_near = (horiz < 1.2).mean()
+    # ALPHA-weighted fraction: bucket sparsification (photon_grid.py)
+    # RR-thins dense spots but scales the kept photons' alpha, so the
+    # power distribution — the estimator-level invariant — is preserved
+    # while raw point counts are not.
+    frac_near = float(al[horiz < 1.2].sum() / max(al.sum(), 1e-9))
     assert frac_near > 0.5, frac_near
 
 

@@ -193,6 +193,28 @@ def test_wavefront_directlighting_delta_and_infinite():
     np.testing.assert_allclose(rgb_wf, rgb_scan, atol=2e-4, rtol=2e-4)
 
 
+def test_wavefront_photonmap_matches_scan():
+    """Photonmap mode (r5): the pool must reproduce the scan driver's
+    photonmap estimates per sample — photon_radiance's RNG streams are
+    functions of (pixel, sample, depth) only, so the regenerating drive
+    cannot change them. Uses a small map build + final gather."""
+    from tpuprt.integrators import photonmap as pm
+    scene, opts = load_scene_string(CORNELL)
+    prm = pm.PhotonParams(caustic=500, direct=4000, indirect=4000,
+                          max_dist=0.4, final_gather=True,
+                          gather_samples=2, batch=8192, max_shot=32768)
+    opts = opts._replace(integrator="photonmap", photon=prm,
+                         filter_kind="box", filter_xwidth=0.5,
+                         filter_ywidth=0.5, chunk_size=1024)
+    rgb_scan, alpha_scan = R.render(scene, opts._replace(driver="scan"))
+    aux = pm.build_maps(scene, prm, opts.seed)
+    rgb_wf, alpha_wf = path_wavefront.render(scene, opts, aux=aux)
+    assert np.isfinite(rgb_wf).all()
+    assert float(np.abs(rgb_wf).sum()) > 0.0
+    np.testing.assert_allclose(rgb_wf, rgb_scan, atol=3e-4, rtol=3e-4)
+    np.testing.assert_allclose(alpha_wf, alpha_scan, atol=1e-5)
+
+
 def test_wavefront_whitted_matches_scan():
     """Whitted mode: all-lights no-MIS direct lighting + specular-only
     continuation with propagated ray differentials."""

@@ -61,7 +61,8 @@ def _mt_rows(row, j, o, d, mint, maxt):
     return t, valid
 
 
-def intersect(scene: SceneData, o, d, mint, maxt, any_hit: bool = False):
+def intersect(scene: SceneData, o, d, mint, maxt, any_hit: bool = False,
+              sort: bool = True):
     """Nearest-hit (t, prim_id, hit); any_hit short-circuits (IntersectP)."""
     bvh: BvhAccel = scene.accel
     o_d, d_d, mint_d, maxt_d = o, d, mint, maxt
@@ -78,7 +79,8 @@ def intersect(scene: SceneData, o, d, mint, maxt, any_hit: bool = False):
         interp = jax.default_backend() != "tpu"
         _, best_id, hit = bvh_pallas.intersect(bvh, o, d, mint, maxt,
                                                any_hit=any_hit,
-                                               interpret=interp)
+                                               interpret=interp,
+                                               sort=sort)
         from .grid import _test_prims
         t_diff, valid = _test_prims(scene, jnp.maximum(best_id, 0), o_d,
                                     d_d, mint_d, maxt_d * 0 + _BIG, hit)

@@ -132,12 +132,12 @@ def _has_instances(scene: SceneData) -> bool:
     return scene.instances is not None and scene.instances.count > 0
 
 
-def _main_intersect(scene: SceneData, o, d, mint, maxt):
+def _main_intersect(scene: SceneData, o, d, mint, maxt, sort: bool = True):
     if scene.accel is not None:
         from ..scene.data import BvhAccel, KdTreeAccel
         if isinstance(scene.accel, BvhAccel):
             from . import bvh as bvh_mod
-            return bvh_mod.intersect(scene, o, d, mint, maxt)
+            return bvh_mod.intersect(scene, o, d, mint, maxt, sort=sort)
         if isinstance(scene.accel, KdTreeAccel):
             from . import kdtree as kd_mod
             return kd_mod.intersect(scene, o, d, mint, maxt)
@@ -146,12 +146,12 @@ def _main_intersect(scene: SceneData, o, d, mint, maxt):
     return _brute_force(scene, o, d, mint, maxt)
 
 
-def intersect_ids(scene: SceneData, o, d, mint, maxt):
+def intersect_ids(scene: SceneData, o, d, mint, maxt, sort: bool = True):
     """Nearest-hit (t, prim_id, hit) without differential geometry.
     Instanced geometry (scene.instances) is a second aggregate: its hits
     are min-combined with the main one; instanced winners get global ids
     NQ + NT + inst * n_proto_tris + proto_tri."""
-    t, pid, hit = _main_intersect(scene, o, d, mint, maxt)
+    t, pid, hit = _main_intersect(scene, o, d, mint, maxt, sort=sort)
     if _has_instances(scene):
         from . import instances as inst_mod
         ti, code, hi_ = inst_mod.intersect(scene.instances, o, d, mint,
@@ -170,14 +170,14 @@ def intersect_ids(scene: SceneData, o, d, mint, maxt):
     return t, pid, hit
 
 
-def occluded(scene: SceneData, o, d, mint, maxt):
+def occluded(scene: SceneData, o, d, mint, maxt, sort: bool = True):
     """Any-hit shadow-ray predicate (Scene::IntersectP)."""
     if scene.accel is not None:
         from ..scene.data import BvhAccel, KdTreeAccel
         if isinstance(scene.accel, BvhAccel):
             from . import bvh as bvh_mod
             _, _, hit = bvh_mod.intersect(scene, o, d, mint, maxt,
-                                          any_hit=True)
+                                          any_hit=True, sort=sort)
         elif isinstance(scene.accel, KdTreeAccel):
             from . import kdtree as kd_mod
             _, _, hit = kd_mod.intersect(scene, o, d, mint, maxt,

@@ -31,6 +31,9 @@ class PhotonGrid:
     p: jnp.ndarray        # f32[N,3] position
     wi: jnp.ndarray       # f32[N,3] arrival direction (toward the light)
     alpha: jnp.ndarray    # f32[N,3] power carried
+    packed: jnp.ndarray   # f32[N,12] [p, wi, alpha, pad] — the lookup
+                          # loop fetches ONE contiguous row per photon
+                          # instead of three scattered 12-byte gathers
     start: jnp.ndarray    # i32[M+1] bucket start offsets into the arrays
     n_paths: jnp.ndarray  # f32[] paths shot to fill this map (normalizer)
     radius: float = static(default=0.1)
@@ -46,12 +49,20 @@ def _cell_hash(ix, iy, iz, m):
 
 def build_photon_grid(p: np.ndarray, wi: np.ndarray, alpha: np.ndarray,
                       radius: float, n_paths: float,
-                      max_bucket_cap: int = 64) -> PhotonGrid:
-    """Host-side build: hash to buckets, sort, record starts."""
+                      max_bucket_cap: int = 32) -> PhotonGrid:
+    """Host-side build: hash to buckets, sort, record starts.
+
+    max_bucket_cap bounds the lookup loop's per-bucket scan; buckets over
+    it keep an RR-scaled random subset (unbiased). 32 (was 64 in r4) cuts
+    the density-estimation sweep 2x at photon-map-typical radii where
+    dense cells hold tens of photons; the estimate stays unbiased with
+    mildly higher variance exactly where photon density (and thus
+    relative accuracy) is highest."""
     n = p.shape[0]
     if n == 0:
         return PhotonGrid(p=jnp.zeros((1, 3)), wi=jnp.zeros((1, 3)),
                           alpha=jnp.zeros((1, 3)),
+                          packed=jnp.zeros((1, 12)),
                           start=jnp.zeros((2,), jnp.int32),
                           n_paths=jnp.asarray(max(n_paths, 1.0), jnp.float32),
                           radius=float(radius), n_buckets=1, bucket_cap=0,
@@ -89,6 +100,9 @@ def build_photon_grid(p: np.ndarray, wi: np.ndarray, alpha: np.ndarray,
         p=jnp.asarray(p, jnp.float32),
         wi=jnp.asarray(wi, jnp.float32),
         alpha=jnp.asarray(alpha, jnp.float32),
+        packed=jnp.asarray(
+            np.concatenate([p, wi, alpha, np.zeros((n, 3), np.float32)],
+                           axis=1), jnp.float32),
         start=jnp.asarray(start, jnp.int32),
         n_paths=jnp.asarray(max(n_paths, 1.0), jnp.float32),
         radius=float(radius), n_buckets=m, bucket_cap=cap, count=n)
@@ -97,15 +111,34 @@ def build_photon_grid(p: np.ndarray, wi: np.ndarray, alpha: np.ndarray,
 _NBR = np.stack(np.meshgrid([-1, 0, 1], [-1, 0, 1], [-1, 0, 1],
                             indexing="ij"), -1).reshape(27, 3)
 
+# Widened-gather budget: the 27 neighbor cells are processed in blocks of
+# _cell_block(B) at a time, keeping B x block <= ~1.2M effective gather
+# lanes (above ~2M the TPU faults with UNAVAILABLE; far below it the
+# per-step fixed cost of the bucket loop dominates — a [B,1] sequential
+# sweep measured ~5x slower than [B,27] at photon-map workloads).
+_WIDTH_BUDGET = 1 << 20
+
+
+def _cell_block(B: int) -> int:
+    for cb in (27, 9, 3):
+        if B * cb <= _WIDTH_BUDGET:
+            return cb
+    return 1
+
 
 def gather_photons(grid: PhotonGrid, q, accum, init):
     """Scan photons within `radius` of each query point q f32[B,3].
 
-    Vectorized over the 27 neighbor cells: accum(carry, wi, alpha, w[, d2])
-    is called bucket_cap times inside a fori_loop with [B,27]-shaped photon
-    batches (wi/alpha are [B,27,3]); w is True only for in-range photons;
-    accept a 5th argument to receive squared distances (kernel estimators).
-    Returns the final carry (a pytree of arrays).
+    accum(carry, wi, alpha, w[, d2]) is called with [B,cb,...]-shaped
+    photon batches (wi/alpha are [B,cb,3], cb = _cell_block(B) neighbor
+    cells at a time); w is True only for in-range photons; accept a 5th
+    argument to receive squared distances (kernel estimators). Returns
+    the final carry (a pytree of arrays).
+
+    Cell blocking balances two failure modes the fixed [B,27] batch form
+    had: its gather temporaries at large B overflow the device
+    (UNAVAILABLE faults — the r4 4-16K lane caps), while a fully
+    sequential [B,1] sweep pays the bucket loop's fixed cost 27x.
     """
     if grid.count == 0 or grid.bucket_cap == 0:
         return init
@@ -117,19 +150,31 @@ def gather_photons(grid: PhotonGrid, q, accum, init):
     cells = base[..., None, :] + jnp.asarray(_NBR, jnp.int32)   # [B,27,3]
     b = _cell_hash(cells[..., 0], cells[..., 1], cells[..., 2],
                    grid.n_buckets)                               # [B,27]
-    s = grid.start[b]
-    cnt = grid.start[b + 1] - s
+    s_all = grid.start[b]
+    cnt_all = grid.start[b + 1] - s_all
+    B = int(np.prod(q.shape[:-1]))
+    cb = _cell_block(B)
 
-    def body(j, carry):
-        idx = jnp.minimum(s + j, grid.count - 1)                 # [B,27]
-        pp = grid.p[idx]                                         # [B,27,3]
-        d2 = jnp.sum((pp - q[..., None, :]) ** 2, -1)
-        w = (j < cnt) & (d2 < r2)
-        if wants_d2:
-            return accum(carry, grid.wi[idx], grid.alpha[idx], w, d2)
-        return accum(carry, grid.wi[idx], grid.alpha[idx], w)
+    def make_body(s, cnt):
+        def body(j, carry2):
+            idx = jnp.minimum(s + j, grid.count - 1)            # [B,cb]
+            rows = grid.packed[idx]                             # [B,cb,12]
+            pp = rows[..., 0:3]
+            d2 = jnp.sum((pp - q[..., None, :]) ** 2, -1)
+            w = (j < cnt) & (d2 < r2)
+            if wants_d2:
+                return accum(carry2, rows[..., 3:6], rows[..., 6:9], w,
+                             d2)
+            return accum(carry2, rows[..., 3:6], rows[..., 6:9], w)
+        return body
 
-    return jax.lax.fori_loop(0, grid.bucket_cap, body, init)
+    carry = init
+    for c0 in range(0, 27, cb):
+        c1 = min(27, c0 + cb)
+        carry = jax.lax.fori_loop(
+            0, grid.bucket_cap,
+            make_body(s_all[..., c0:c1], cnt_all[..., c0:c1]), carry)
+    return carry
 
 
 @pytree_dataclass
@@ -174,8 +219,9 @@ def build_point_grid(p: np.ndarray, payload, radius: float,
 
 def gather_points(grid: PointGrid, q, accum, init):
     """Like gather_photons but payload-generic: accum(carry, pp, payload
-    tuple, in_bucket_mask) with [B,27,...]-shaped gathers per step. The
-    accum callback applies its own radius/validity tests."""
+    tuple, in_bucket_mask) with [B,1,...]-shaped gathers per step (cells
+    scanned sequentially — see gather_photons). The accum callback
+    applies its own radius/validity tests."""
     if grid.count == 0 or grid.bucket_cap == 0:
         return init
     import jax
@@ -183,13 +229,23 @@ def gather_points(grid: PointGrid, q, accum, init):
     cells = base[..., None, :] + jnp.asarray(_NBR, jnp.int32)
     b = _cell_hash(cells[..., 0], cells[..., 1], cells[..., 2],
                    grid.n_buckets)
-    s = grid.start[b]
-    cnt = grid.start[b + 1] - s
+    s_all = grid.start[b]
+    cnt_all = grid.start[b + 1] - s_all
+    B = int(np.prod(q.shape[:-1]))
+    cb = _cell_block(B)
 
-    def body(j, carry):
-        idx = jnp.minimum(s + j, grid.count - 1)
-        pp = grid.p[idx]
-        pay = tuple(x[idx] for x in grid.payload)
-        return accum(carry, pp, pay, j < cnt)
+    def make_body(s, cnt):
+        def body(j, carry2):
+            idx = jnp.minimum(s + j, grid.count - 1)
+            pp = grid.p[idx]
+            pay = tuple(x[idx] for x in grid.payload)
+            return accum(carry2, pp, pay, j < cnt)
+        return body
 
-    return jax.lax.fori_loop(0, grid.bucket_cap, body, init)
+    carry = init
+    for c0 in range(0, 27, cb):
+        c1 = min(27, c0 + cb)
+        carry = jax.lax.fori_loop(
+            0, grid.bucket_cap,
+            make_body(s_all[..., c0:c1], cnt_all[..., c0:c1]), carry)
+    return carry

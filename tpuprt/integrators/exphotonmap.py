@@ -203,22 +203,44 @@ def _reservoir_photon_dir(grid, p, ph, s_idx, depth, gi):
     return dir_sel, count > 0
 
 
-def lphoton_kernel(grid, bsdf, wo, p, active):
+def lphoton_kernel(grid, bsdf, wo, p, active, may_glossy: bool = True):
     """LPhoton with the Epanechnikov kernel (exphotonmap.cpp:70-75,
-    :200-245) instead of photonmap's flat 1/(pi r^2)."""
+    :200-245) instead of photonmap's flat 1/(pi r^2). Diffuse surfaces
+    take the reference's rho shortcut (exphotonmap.cpp:228-245):
+    kernel-weighted hemisphere flux sums in the loop, one rho(wo)
+    multiply outside; per-photon f only for glossy lanes (skipped at
+    trace time when may_glossy is False)."""
     if grid.count == 0:
         return jnp.zeros(p.shape[:-1] + (3,), jnp.float32)
     md2 = jnp.float32(grid.radius * grid.radius)
+    import math as _math
+    from ..core import vecmath as _vm
+    nf = jnp.where(_vm.dot(wo, bsdf.nn)[..., None] < 0.0, -bsdf.nn,
+                   bsdf.nn)
+    zero3 = jnp.zeros(p.shape[:-1] + (3,), jnp.float32)
 
-    def accum(L, wi_b, alpha_b, w, d2):
-        f_val = jax.vmap(lambda wi: B.f(bsdf, wo, wi),
-                         in_axes=1, out_axes=1)(wi_b)
+    def accum(carry, wi_b, alpha_b, w, d2):
+        Lr, Lt, Lg = carry
         k = _kernel_w(d2, md2)
-        return L + jnp.sum(jnp.where(w[..., None],
-                                     f_val * alpha_b * k[..., None], 0.0), 1)
+        ka = alpha_b * k[..., None]
+        front = jnp.sum(wi_b * nf[..., None, :], -1) > 0.0
+        Lr = Lr + jnp.sum(jnp.where((w & front)[..., None], ka, 0.0), 1)
+        Lt = Lt + jnp.sum(jnp.where((w & ~front)[..., None], ka, 0.0), 1)
+        if may_glossy:
+            f_val = jax.vmap(lambda wi: B.f(bsdf, wo, wi),
+                             in_axes=1, out_axes=1)(wi_b)
+            Lg = Lg + jnp.sum(jnp.where(w[..., None], f_val * ka, 0.0), 1)
+        return Lr, Lt, Lg
 
-    L = gather_photons(grid, p, accum,
-                       jnp.zeros(p.shape[:-1] + (3,), jnp.float32))
+    Lr, Lt, Lg = gather_photons(grid, p, accum, (zero3, zero3, zero3))
+    L_diff = (Lr * B.rho_approx(bsdf, B.ALL_REFLECTION) +
+              Lt * B.rho_approx(bsdf, B.ALL_TRANSMISSION)) / _math.pi
+    if may_glossy:
+        glossy = B.num_components(
+            bsdf, B.REFLECTION | B.TRANSMISSION | B.GLOSSY) > 0
+        L = jnp.where(glossy[..., None], Lg, L_diff)
+    else:
+        L = L_diff
     return jnp.where(active[..., None], L / grid.n_paths, 0.0)
 
 
@@ -229,6 +251,9 @@ def li(scene: SceneData, aux: ExPhotonAux, o, d, mint, maxt,
     n_rays = o.shape[0]
     ph = rng.hash_u32(px, py, seed, 0xE9B)
     has_inf = bool(scene.lights.infinite_meta)
+    from .photonmap import GLOSSY_LOBE_KINDS
+    mg = any(k in GLOSSY_LOBE_KINDS
+             for k in (scene.materials.lobe_kinds or ()))
     maps = aux.maps
     cos_ga = aux.cos_gather
     gs = prm.gather_samples
@@ -270,7 +295,7 @@ def li(scene: SceneData, aux: ExPhotonAux, o, d, mint, maxt,
 
         # Caustics via kernel estimate (exphotonmap.cpp:524-525).
         L = L + throughput * lphoton_kernel(maps.caustic, bsdf, wo, p,
-                                            alive)
+                                            alive, may_glossy=mg)
 
         if prm.final_gather and maps.indirect.count > 0 and \
                 aux.radiance.count > 0:

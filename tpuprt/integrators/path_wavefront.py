@@ -181,7 +181,8 @@ def _whitted_ld(scene, p, ns, wo, bsdf, ph, s_idx, bounce, alive):
 def _step(scene: SceneData, film, st, cursor, cfg, seed, max_depth,
           rr_start, total, xres, yres, xstart, xcount, ystart, spp,
           filter_kind, filter_xwidth, filter_ywidth,
-          vol_integrator="emission", mode="path", strategy="all"):
+          vol_integrator="emission", mode="path", strategy="all",
+          aux=None, prm=None):
     """One wavefront pass: bounce every live lane once, splat + regenerate
     finished lanes. Returns (film, state, cursor, n_alive, n_active).
 
@@ -194,6 +195,13 @@ def _step(scene: SceneData, film, st, cursor, cfg, seed, max_depth,
       "whitted"         whitted.cpp:44-140 (all lights, single sample, no
                         MIS, specular-only continuation with propagated
                         ray differentials).
+      "photonmap"       photonmap.cpp:299-431 (direct + map estimates +
+                        flat final gather via photonmap.photon_radiance;
+                        aux = PhotonMaps, prm = PhotonParams). The pool
+                        drive matters most here: the scan driver paid
+                        the photon-map sweeps at FULL width for every
+                        depth while only specular continuations remain
+                        alive past depth 0.
     Random streams replicate the matching scan integrator exactly, so
     wavefront == scan holds per sample for every mode.
     """
@@ -204,7 +212,7 @@ def _step(scene: SceneData, film, st, cursor, cfg, seed, max_depth,
     specular, alpha = st["specular"], st["alpha"]
     first = bounce == 0
     salt = {"path": 0xBA5E, "directlighting": 0xD112,
-            "whitted": 0x817}[mode]
+            "whitted": 0x817, "photonmap": 0x9B1}[mode]
     ph = rng.hash_u32(px, py, seed, salt)
     has_inf = bool(scene.lights.infinite_meta)
     has_lights = scene.lights.count > 0
@@ -293,6 +301,10 @@ def _step(scene: SceneData, film, st, cursor, cfg, seed, max_depth,
         elif mode == "directlighting":
             Ld = _direct_ld(scene, cfg, strategy, p, ns, wo, bsdf, ph,
                             px, py, s_idx, bounce, seed, alive)
+        elif mode == "photonmap":
+            from . import photonmap as _pm
+            Ld = _pm.photon_radiance(scene, aux, prm, bsdf, wo, p, ns,
+                                     alive, ph, s_idx, bounce)
         else:  # whitted: every light, single sample, NO MIS
             Ld = _whitted_ld(scene, p, ns, wo, bsdf, ph, s_idx, bounce,
                              alive)
@@ -405,17 +417,18 @@ INNER = 8
          static_argnames=("cfg", "seed", "max_depth", "total", "xres",
                           "yres", "xstart", "xcount", "ystart", "spp",
                           "filter_kind", "filter_xwidth", "filter_ywidth",
-                          "vol_integrator", "mode", "strategy"))
-def _jstep(scene, film, st, cursor, *, cfg, seed, max_depth, total, xres,
-           yres, xstart, xcount, ystart, spp, filter_kind, filter_xwidth,
-           filter_ywidth, vol_integrator="emission", mode="path",
-           strategy="all"):
+                          "vol_integrator", "mode", "strategy", "prm"))
+def _jstep(scene, film, st, cursor, aux=None, *, cfg, seed, max_depth,
+           total, xres, yres, xstart, xcount, ystart, spp, filter_kind,
+           filter_xwidth, filter_ywidth, vol_integrator="emission",
+           mode="path", strategy="all", prm=None):
     def body(carry, _):
         film_c, st_c, cur_c = carry
         film_c, st_c, cur_c, n_alive, n_active, n_shadow = _step(
             scene, film_c, st_c, cur_c, cfg, seed, max_depth, 3, total,
             xres, yres, xstart, xcount, ystart, spp, filter_kind,
-            filter_xwidth, filter_ywidth, vol_integrator, mode, strategy)
+            filter_xwidth, filter_ywidth, vol_integrator, mode, strategy,
+            aux, prm)
         return (film_c, st_c, cur_c), (n_alive, n_active, n_shadow)
     (film, st, cursor), (n_alive, n_active, n_shadow) = jax.lax.scan(
         body, (film, st, cursor), None, length=INNER)
@@ -428,11 +441,12 @@ def _jstep(scene, film, st, cursor, *, cfg, seed, max_depth, total, xres,
                           "yres", "xstart", "xcount", "ystart", "spp",
                           "filter_kind", "filter_xwidth", "filter_ywidth",
                           "pass_limit", "vol_integrator", "mode",
-                          "strategy"))
-def _jrun(scene, film, st, cursor, *, cfg, seed, max_depth, total, xres,
-          yres, xstart, xcount, ystart, spp, filter_kind, filter_xwidth,
-          filter_ywidth, pass_limit, vol_integrator="emission",
-          mode="path", strategy="all"):
+                          "strategy", "prm"))
+def _jrun(scene, film, st, cursor, aux=None, *, cfg, seed, max_depth,
+          total, xres, yres, xstart, xcount, ystart, spp, filter_kind,
+          filter_xwidth, filter_ywidth, pass_limit,
+          vol_integrator="emission", mode="path", strategy="all",
+          prm=None):
     """The entire wavefront drive as ONE device-side while_loop dispatch.
 
     The host-chunked driver costs a device->host scalar read per INNER
@@ -457,7 +471,8 @@ def _jrun(scene, film, st, cursor, *, cfg, seed, max_depth, total, xres,
         film_c, st_c, cur_c, _n_alive, n_active, n_shadow = _step(
             scene, film_c, st_c, cur_c, cfg, seed, max_depth, 3, total,
             xres, yres, xstart, xcount, ystart, spp, filter_kind,
-            filter_xwidth, filter_ywidth, vol_integrator, mode, strategy)
+            filter_xwidth, filter_ywidth, vol_integrator, mode, strategy,
+            aux, prm)
         units = stats_c[:, 1] + jnp.stack(
             [n_active, n_shadow, (n_active > 0).astype(n_active.dtype)])
         carry = jnp.floor(units / 1e6)
@@ -497,13 +512,16 @@ def _jinit(scene, *, cfg, seed, n_lanes, total, xres, yres, xstart, xcount,
 _develop = jax.jit(film_mod.develop)
 
 
-def render(scene: SceneData, opts, progress: bool = False, stats=None):
-    """Full-frame wavefront render (path, directlighting, or whitted per
-    opts.integrator). Returns (rgb, alpha) like render.render."""
-    if opts.integrator not in ("path", "directlighting", "whitted"):
+def render(scene: SceneData, opts, progress: bool = False, stats=None,
+           aux=None):
+    """Full-frame wavefront render (path, directlighting, whitted, or
+    photonmap per opts.integrator; photonmap needs aux=PhotonMaps from
+    photonmap.build_maps). Returns (rgb, alpha) like render.render."""
+    if opts.integrator not in ("path", "directlighting", "whitted",
+                               "photonmap"):
         raise ValueError(
-            f"wavefront driver supports path/directlighting/whitted, not "
-            f"{opts.integrator}")
+            f"wavefront driver supports path/directlighting/whitted/"
+            f"photonmap, not {opts.integrator}")
     film = film_mod.make_film(opts.xres, opts.yres, opts.crop)
     xstart, xcount, ystart, ycount = film_mod.pixel_extent(film)
     spp = smp.samples_per_pixel(opts.sampler)
@@ -513,6 +531,20 @@ def render(scene: SceneData, opts, progress: bool = False, stats=None):
             f"sample space {total} exceeds the uint32 cursor; split the "
             "render with crop windows (film/image.cpp:79-85 semantics)")
     n_lanes = int(min(opts.chunk_size, total))
+    prm = None
+    if opts.integrator == "photonmap":
+        from . import photonmap as _pm
+        prm = opts.photon if opts.photon else _pm.PhotonParams()
+        if aux is None:
+            aux = _pm.build_maps(scene, prm, opts.seed)
+        if prm.final_gather:
+            # Widened flat gather: lanes x gather_samples <= 2^15 under
+            # the pool (the scan driver sustains 2^17, but the pool's
+            # while-loop state is co-resident and the device faults at
+            # larger products).
+            n_lanes = min(n_lanes,
+                          max(1 << 11,
+                              (1 << 15) // max(prm.gather_samples, 1)))
     cfg = opts.sampler
 
     step_kw = dict(cfg=cfg, seed=opts.seed, max_depth=opts.max_depth,
@@ -523,10 +555,11 @@ def render(scene: SceneData, opts, progress: bool = False, stats=None):
                    filter_ywidth=opts.filter_ywidth,
                    vol_integrator=opts.volume_integrator,
                    mode=opts.integrator,
-                   strategy=getattr(opts, "direct_strategy", "all"))
+                   strategy=getattr(opts, "direct_strategy", "all"),
+                   prm=prm)
 
     def jstep(film, st, cursor):
-        return _jstep(scene, film, st, cursor, **step_kw)
+        return _jstep(scene, film, st, cursor, aux, **step_kw)
 
     st = _jinit(scene, cfg=cfg, seed=opts.seed, n_lanes=n_lanes,
                 total=total, xres=opts.xres, yres=opts.yres, xstart=xstart,
@@ -538,7 +571,7 @@ def render(scene: SceneData, opts, progress: bool = False, stats=None):
         # Whole render in one dispatch; host reads back only final stats.
         pass_limit = math.ceil(total * (opts.max_depth + 2) / n_lanes) + \
             opts.max_depth + 8
-        film, dev_stats, _npass = _jrun(scene, film, st, cursor,
+        film, dev_stats, _npass = _jrun(scene, film, st, cursor, aux,
                                         pass_limit=pass_limit, **step_kw)
         dev_stats = np.asarray(dev_stats, np.float64)
         totals = dev_stats[:, 0] * 1e6 + dev_stats[:, 1]

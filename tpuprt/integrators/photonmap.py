@@ -10,11 +10,11 @@ TPU-native replacement for /root/reference/integrators/photonmap.cpp:
   * Storage (core/kdtree.h): grid-hash buckets (accel/photon_grid.py)
     instead of a pointer kd-tree.
   * LPhoton (photonmap.cpp:433-483): fixed-radius estimate
-    sum f(wo, wi_p) * alpha_p / (n_paths * pi * maxDist^2). The per-photon
-    BSDF evaluation is exact for every surface (the reference's
-    rho-shortcut for diffuse surfaces is an optimization we don't need —
-    lobes evaluate vectorized); kNN radius shrinking is replaced by fixed
-    radius (documented in photon_grid.py).
+    sum f(wo, wi_p) * alpha_p / (n_paths * pi * maxDist^2), with the
+    reference's diffuse rho-shortcut (flux sums in the loop, one rho
+    multiply outside; per-photon f only on glossy lanes, skipped at
+    trace time for glossy-free scenes); kNN radius shrinking is replaced
+    by fixed radius (documented in photon_grid.py).
   * Li (photonmap.cpp:299-431): direct via all-lights MIS sampling (or the
     direct map), caustics + indirect via maps, optional one-bounce final
     gather, stochastic single-pick specular continuation (whitted-style
@@ -56,7 +56,11 @@ class PhotonParams(NamedTuple):
     gather_samples: int = 32
     direct_with_photons: bool = False
     shoot_depth: int = 8          # static wavefront bound (RR starts at 4)
-    batch: int = 16384
+    # 64K-path shooting batches: the build loop syncs the host per batch
+    # (collection/classification is numpy), so batch count is the fixed
+    # cost that matters (31 x 16K batches measured ~11s of mostly host
+    # time; 8 x 64K ~3s).
+    batch: int = 65536
     max_shot: int = 500000
 
 
@@ -150,6 +154,41 @@ def shoot_batch(scene: SceneData, base: int, n: int, depth_bound: int,
     return outs   # (pos [D,n,3], wi, alpha, cls [D,n], valid [D,n])
 
 
+def _shoot_packed(scene: SceneData, base, n: int, depth_bound: int,
+                  seed: int, radiance: bool):
+    """shoot_batch + device-side compaction: valid deposits sorted first
+    (path-major, so photon order still follows global path ids) and a
+    count, so the host transfers ONLY the valid rows. The raw [D, n]
+    arrays are ~50 MB/batch and the remote-TPU tunnel moves ~60 MB/s —
+    host transfer was 16x the device shooting time (r5 measurement)."""
+    outs = shoot_batch(scene, base, n, depth_bound, seed,
+                       radiance=radiance)
+    pos, wi, al, cls, valid = outs[:5]
+
+    def pm(x):
+        return jnp.swapaxes(x, 0, 1).reshape((n * depth_bound,) +
+                                             x.shape[2:])
+
+    v = pm(valid)
+    pid = jnp.repeat(jnp.arange(n, dtype=jnp.int32) + base, depth_bound)
+    order = jnp.argsort(jnp.where(v, 0, 1), stable=True)
+    res = dict(P=pm(pos)[order], W=pm(wi)[order], A=pm(al)[order],
+               C=pm(cls)[order], I=pid[order],
+               cnt=jnp.sum(v.astype(jnp.int32)))
+    if radiance:
+        nn_, rr_, rt_, pick = outs[5:9]
+        vr = pm(valid & pick)
+        order_r = jnp.argsort(jnp.where(vr, 0, 1), stable=True)
+        res.update(RP=pm(pos)[order_r], RN=pm(nn_)[order_r],
+                   RR=pm(rr_)[order_r], RT=pm(rt_)[order_r],
+                   rcnt=jnp.sum(vr.astype(jnp.int32)))
+    return res
+
+
+_shoot_packed_jit = jax.jit(
+    _shoot_packed, static_argnames=("n", "depth_bound", "seed", "radiance"))
+
+
 def build_maps(scene: SceneData, prm: PhotonParams, seed: int = 0,
                log=None, collect_radiance: bool = False):
     """Host loop around jitted batches (the reference's Preprocess while
@@ -171,34 +210,46 @@ def build_maps(scene: SceneData, prm: PhotonParams, seed: int = 0,
                               rho_t=np.zeros((0, 3), np.float32))
         return maps
 
-    shoot = jax.jit(lambda b: shoot_batch(scene, b, prm.batch,
-                                          prm.shoot_depth, seed,
-                                          radiance=collect_radiance),
-                    static_argnums=())
+    # Module-level jit: a fresh lambda per call re-traced the whole
+    # shooting graph (~2s host) every build.
+    def shoot(b):
+        return _shoot_packed_jit(scene, b, n=prm.batch,
+                                 depth_bound=prm.shoot_depth, seed=seed,
+                                 radiance=collect_radiance)
     rad = {"p": [], "n": [], "rho_r": [], "rho_t": []}
     coll = {k: {"pos": [], "wi": [], "alpha": [], "pid": []}
             for k in targets}
     shot = 0
+    dispatched = 0
+    pending = None
     while shot < prm.max_shot:
-        outs = [np.asarray(x) for x in shoot(shot)]
-        pos, wi, al, cls, valid = outs[:5]
+        # One batch in flight ahead: reading cnt syncs the device, so
+        # dispatch the next batch first (its ~50 ms of shooting overlaps
+        # this batch's host-side collection).
+        if pending is None:
+            pending = shoot(shot)
+            dispatched = shot + prm.batch
+        res = pending
+        if dispatched < prm.max_shot:
+            pending = shoot(dispatched)
+            dispatched += prm.batch
+        else:
+            pending = None
+        cnt = int(res["cnt"])
         if collect_radiance:
-            r_nn, r_rr, r_rt, r_pick = outs[5:9]
-            rm = valid & r_pick
-            rad["p"].append(pos[rm])
-            rad["n"].append(r_nn[rm])
-            rad["rho_r"].append(r_rr[rm])
-            rad["rho_t"].append(r_rt[rm])
-        D, n = valid.shape
-        # path-major flatten so photon order follows global path ids
-        pids = np.broadcast_to(np.arange(shot, shot + n), (D, n))
-        order = (np.transpose(pos, (1, 0, 2)).reshape(-1, 3),
-                 np.transpose(wi, (1, 0, 2)).reshape(-1, 3),
-                 np.transpose(al, (1, 0, 2)).reshape(-1, 3),
-                 np.transpose(cls, (1, 0)).reshape(-1),
-                 np.transpose(valid, (1, 0)).reshape(-1),
-                 np.transpose(pids, (1, 0)).reshape(-1))
-        shot += n
+            rcnt = int(res["rcnt"])
+            rad["p"].append(np.asarray(res["RP"][:rcnt]))
+            rad["n"].append(np.asarray(res["RN"][:rcnt]))
+            rad["rho_r"].append(np.asarray(res["RR"][:rcnt]))
+            rad["rho_t"].append(np.asarray(res["RT"][:rcnt]))
+        # Already path-major + valid-compacted on device (_shoot_packed):
+        # photon order follows global path ids.
+        order = (np.asarray(res["P"][:cnt]), np.asarray(res["W"][:cnt]),
+                 np.asarray(res["A"][:cnt]),
+                 np.asarray(res["C"][:cnt]),
+                 np.ones((cnt,), bool),
+                 np.asarray(res["I"][:cnt]).astype(np.int64))
+        shot += prm.batch
         done = True
         for ci, k in enumerate(("direct", "caustic", "indirect")):
             have = sum(len(x) for x in coll[k]["pid"]) if coll[k]["pid"] \
@@ -258,22 +309,157 @@ def build_maps(scene: SceneData, prm: PhotonParams, seed: int = 0,
 # Density estimation (LPhoton)
 # ---------------------------------------------------------------------------
 
-def lphoton(grid: PhotonGrid, bsdf: B.BsdfBatch, wo, p, active):
-    """Fixed-radius photon radiance estimate (photonmap.cpp:433-483):
-    sum_i f(wo, wi_i) * alpha_i / (n_paths * pi * r^2)."""
+GLOSSY_LOBE_KINDS = (B.BX_MICROFACET, B.BX_FRESNELBLEND)
+
+
+def lphoton(grid: PhotonGrid, bsdf: B.BsdfBatch, wo, p, active,
+            may_glossy: bool = True):
+    """Fixed-radius photon radiance estimate (photonmap.cpp:433-483).
+
+    Like the reference, diffuse-only surfaces take the rho shortcut:
+    the per-photon loop accumulates hemisphere flux sums Lr/Lt and ONE
+    rho(wo) multiply happens outside (photonmap.cpp:472-481). The
+    per-photon BSDF evaluation (photonmap.cpp:464-470) only runs for
+    lanes with a glossy component — and is skipped at TRACE time when
+    the scene's static lobe-kind set has no glossy lobes (may_glossy),
+    which is what makes the gather loop pure flux arithmetic on typical
+    photon-map scenes (it was the dominant render cost when evaluated
+    per photon unconditionally)."""
     if grid.count == 0:
         return jnp.zeros(p.shape[:-1] + (3,), jnp.float32)
+    nf = jnp.where(vm.dot(wo, bsdf.nn)[..., None] < 0.0, -bsdf.nn,
+                   bsdf.nn)
+    zero3 = jnp.zeros(p.shape[:-1] + (3,), jnp.float32)
 
-    def accum(L, wi_b, alpha_b, w):
-        # wi_b/alpha_b: [B,27,3]; evaluate f vectorized over the cell axis.
-        f_val = jax.vmap(lambda wi: B.f(bsdf, wo, wi),
-                         in_axes=1, out_axes=1)(wi_b)
-        return L + jnp.sum(jnp.where(w[..., None], f_val * alpha_b, 0.0), 1)
+    def accum(carry, wi_b, alpha_b, w):
+        Lr, Lt, Lg = carry
+        front = jnp.sum(wi_b * nf[..., None, :], -1) > 0.0
+        Lr = Lr + jnp.sum(jnp.where((w & front)[..., None], alpha_b, 0.0),
+                          1)
+        Lt = Lt + jnp.sum(jnp.where((w & ~front)[..., None], alpha_b,
+                                    0.0), 1)
+        if may_glossy:
+            f_val = jax.vmap(lambda wi: B.f(bsdf, wo, wi),
+                             in_axes=1, out_axes=1)(wi_b)
+            Lg = Lg + jnp.sum(jnp.where(w[..., None], f_val * alpha_b,
+                                        0.0), 1)
+        return Lr, Lt, Lg
 
-    L = gather_photons(grid, p,
-                       accum, jnp.zeros(p.shape[:-1] + (3,), jnp.float32))
+    Lr, Lt, Lg = gather_photons(grid, p, accum, (zero3, zero3, zero3))
     scale = 1.0 / (grid.n_paths * math.pi * grid.radius * grid.radius)
+    L_diff = (Lr * B.rho_approx(bsdf, B.ALL_REFLECTION) +
+              Lt * B.rho_approx(bsdf, B.ALL_TRANSMISSION)) / math.pi
+    if may_glossy:
+        glossy = B.num_components(
+            bsdf, B.REFLECTION | B.TRANSMISSION | B.GLOSSY) > 0
+        L = jnp.where(glossy[..., None], Lg, L_diff)
+    else:
+        L = L_diff
     return jnp.where(active[..., None], L * scale, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Li
+# ---------------------------------------------------------------------------
+
+def photon_radiance(scene: SceneData, maps: PhotonMaps, prm: PhotonParams,
+                    bsdf, wo, p, ns, alive, ph, s_idx, depth):
+    """Non-recursive radiance core of Li at shading points — direct
+    lighting + caustic map + indirect map / flat final gather
+    (photonmap.cpp:315-364) — shared by the scan driver (li) and the
+    regenerating wavefront pool (path_wavefront mode="photonmap").
+    Returns per-lane radiance, already masked to `alive` lanes. RNG
+    streams are functions of (ph, s_idx, depth, purpose) only, so both
+    drivers compute identical estimates per camera sample."""
+    n_rays = p.shape[0]
+    # Trace-time fact: per-photon BSDF evaluation exists only for scenes
+    # whose material set includes a glossy lobe (see lphoton).
+    mg = any(k in GLOSSY_LOBE_KINDS
+             for k in (scene.materials.lobe_kinds or ()))
+
+    # Direct lighting (photonmap.cpp:315-323).
+    if prm.direct_with_photons:
+        Ld = lphoton(maps.direct, bsdf, wo, p, alive, may_glossy=mg)
+    else:
+        def sample_fn(light_i, kind):
+            return rng.uniform2(ph, s_idx, depth, light_i, kind)
+        Ld = common.uniform_sample_all_lights(scene, p, ns, wo, bsdf,
+                                              sample_fn, alive)
+    Lsum = jnp.where(alive[..., None], Ld, 0.0)
+
+    # Caustics always come from the caustic map.
+    Lsum = Lsum + lphoton(maps.caustic, bsdf, wo, p, alive, may_glossy=mg)
+
+    if prm.final_gather and maps.indirect.count > 0:
+        # Flat-batched final gather (photonmap.cpp:327-364's per-sample
+        # loop): gather samples run Gb AT A TIME as one widened
+        # wavefront (lane i*Gb+g = ray i's sample g), under a short scan
+        # over sample blocks. The r4 one-sample-per-scan-step form hit
+        # the TPU program ceiling past ~8 steps and forced the 16K-lane
+        # render cap (PERF_NOTES); blocking bounds BOTH the scan length
+        # and the widened width (n_rays x Gb <= ~128K measured safe).
+        # RNG streams are per (pixel, sample, depth, g) exactly as
+        # before -> identical estimates.
+        G = prm.gather_samples
+        Gb = max(1, min(G, (1 << 17) // max(n_rays, 1)))
+        while G % Gb:
+            Gb -= 1
+
+        def rep(x):
+            return jnp.repeat(x, Gb, axis=0)
+
+        bsdfG = jax.tree_util.tree_map(rep, bsdf)
+        phG, sG = rep(ph), rep(s_idx)
+        woG, pG, nsG = rep(wo), rep(p), rep(ns)
+        aliveG = rep(alive)
+        # depth is a scalar scan index under the scan driver but a
+        # PER-LANE bounce array under the wavefront pool — widen it too.
+        dG = rep(depth) if getattr(depth, "ndim", 0) > 0 else depth
+        g_base = jnp.tile(jnp.arange(Gb, dtype=jnp.int32), n_rays)
+
+        def gather_block(acc, blk):
+            gi = g_base + blk * Gb
+            g1 = rng.uniform(phG, sG, dG, gi, 0x61)
+            g2 = rng.uniform(phG, sG, dG, gi, 0x62)
+            g3 = rng.uniform(phG, sG, dG, gi, 0x63)
+            bs = B.sample_f(bsdfG, woG, g1, g2, g3, B.ALL & ~B.SPECULAR)
+            gok = aliveG & bs["valid"] & (bs["pdf"] > 0.0) & \
+                jnp.any(bs["f"] > 0.0, -1)
+            # Provably-zero lanes carry degenerate rays (empty windows)
+            # so they don't widen traversal packet unions.
+            gt, gpid, ghit = isect.intersect_ids(
+                scene, pG, bs["wi"],
+                jnp.where(gok, _EPS, 1.0),
+                jnp.where(gok, 1e30, -1.0))
+            gok = gok & ghit
+            gdg = isect.hit_geometry(scene, gpid, pG, bs["wi"], gt)
+            gbsdf = common.make_bsdf_at(scene, gdg)
+            gwo = -bs["wi"]
+            Lind = (lphoton(maps.direct, gbsdf, gwo, gdg["p"], gok,
+                            may_glossy=mg) +
+                    lphoton(maps.indirect, gbsdf, gwo, gdg["p"], gok,
+                            may_glossy=mg) +
+                    lphoton(maps.caustic, gbsdf, gwo, gdg["p"], gok,
+                            may_glossy=mg))
+            contrib = bs["f"] * Lind * \
+                (vm.absdot(bs["wi"], nsG) /
+                 jnp.maximum(bs["pdf"], 1e-20))[..., None]
+            dLg = jnp.where(gok[..., None], contrib,
+                            0.0).reshape(n_rays, Gb, 3).sum(1)
+            return acc + dLg, None
+
+        if G // Gb > 1:
+            Lg, _ = jax.lax.scan(gather_block,
+                                 jnp.zeros((n_rays, 3), jnp.float32),
+                                 jnp.arange(G // Gb))
+        else:
+            Lg, _ = gather_block(jnp.zeros((n_rays, 3), jnp.float32),
+                                 jnp.int32(0))
+        Lsum = Lsum + Lg / float(G)
+    else:
+        Lsum = Lsum + lphoton(maps.indirect, bsdf, wo, p, alive,
+                              may_glossy=mg)
+    return Lsum
 
 
 # ---------------------------------------------------------------------------
@@ -316,49 +502,9 @@ def li(scene: SceneData, maps: PhotonMaps, o, d, mint, maxt,
         bsdf = common.make_bsdf_at(scene, dg)
         p, ns = dg["p"], bsdf.nn
 
-        # Direct lighting (photonmap.cpp:315-323).
-        if prm.direct_with_photons:
-            Ld = lphoton(maps.direct, bsdf, wo, p, alive)
-        else:
-            def sample_fn(light_i, kind):
-                return rng.uniform2(ph, s_idx, depth, light_i, kind)
-            Ld = common.uniform_sample_all_lights(scene, p, ns, wo, bsdf,
-                                                  sample_fn, alive)
-        L = L + jnp.where(alive[..., None], throughput * Ld, 0.0)
-
-        # Caustics always come from the caustic map.
-        L = L + throughput * lphoton(maps.caustic, bsdf, wo, p, alive)
-
-        if prm.final_gather and maps.indirect.count > 0:
-            def gather_body(acc, gi):
-                g1 = rng.uniform(ph, s_idx, depth, gi, 0x61)
-                g2 = rng.uniform(ph, s_idx, depth, gi, 0x62)
-                g3 = rng.uniform(ph, s_idx, depth, gi, 0x63)
-                bs = B.sample_f(bsdf, wo, g1, g2, g3,
-                                B.ALL & ~B.SPECULAR)
-                gok = alive & bs["valid"] & (bs["pdf"] > 0.0) & \
-                    jnp.any(bs["f"] > 0.0, -1)
-                gt, gpid, ghit = isect.intersect_ids(
-                    scene, p, bs["wi"], jnp.full((n_rays,), _EPS),
-                    jnp.full((n_rays,), 1e30))
-                gok = gok & ghit
-                gdg = isect.hit_geometry(scene, gpid, p, bs["wi"], gt)
-                gbsdf = common.make_bsdf_at(scene, gdg)
-                gwo = -bs["wi"]
-                Lind = (lphoton(maps.direct, gbsdf, gwo, gdg["p"], gok) +
-                        lphoton(maps.indirect, gbsdf, gwo, gdg["p"], gok) +
-                        lphoton(maps.caustic, gbsdf, gwo, gdg["p"], gok))
-                contrib = bs["f"] * Lind * \
-                    (vm.absdot(bs["wi"], ns) /
-                     jnp.maximum(bs["pdf"], 1e-20))[..., None]
-                return acc + jnp.where(gok[..., None], contrib, 0.0), None
-
-            Lg, _ = jax.lax.scan(gather_body,
-                                 jnp.zeros((n_rays, 3), jnp.float32),
-                                 jnp.arange(prm.gather_samples))
-            L = L + throughput * Lg / float(prm.gather_samples)
-        else:
-            L = L + throughput * lphoton(maps.indirect, bsdf, wo, p, alive)
+        L = L + throughput * photon_radiance(scene, maps, prm, bsdf, wo,
+                                             p, ns, alive, ph, s_idx,
+                                             depth)
 
         # Specular continuation (photonmap.cpp:366-425), stochastic
         # single pick as in whitted.py.

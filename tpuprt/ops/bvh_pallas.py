@@ -826,10 +826,10 @@ def _kernel_tiles(tiles_ref, skip_ref, meta_ref, rays_ref, t_ref, id_ref,
     nsub = super_ // sub
 
     def body(i, cnt):
-        def rst(dd, _):
+        # Unrolled owner reset: a 34-step fori of SMEM stores measured
+        # ~3 us/iteration (dominating short walks); static stores don't.
+        for dd in range(MAXD + 2):
             own_ref[i, dd] = jnp.int32(-1)
-            return 0
-        jax.lax.fori_loop(0, MAXD + 2, rst, 0)
         regs = _ray_regs(rays_ref[:, pl.ds(i * sub, sub)], sub)
         bt = jnp.full(regs["mint"].shape, _BIG, jnp.float32)
         bi = jnp.full(regs["mint"].shape, -1, jnp.int32)
@@ -937,11 +937,13 @@ def _kernel_tiles_chunked(cb_ref, tiles_ref, skip_ref, meta_ref, rays_ref,
         # Owner reset: stale owners from the PREVIOUS super-block's walk
         # would wrongly validate masks. Owners persist across this
         # super-block's chunks (cross-chunk mask reuse is sound: masks
-        # only go stale toward conservative entered=True).
+        # only go stale toward conservative entered=True). Inner stores
+        # unrolled (dynamic-index SMEM stores in a fori are ~3 us/iter).
         def rst(i, _):
-            own_ref[i // (MAXD + 2), i % (MAXD + 2)] = jnp.int32(-1)
+            for dd in range(MAXD + 2):
+                own_ref[i, dd] = jnp.int32(-1)
             return 0
-        jax.lax.fori_loop(0, nsub * (MAXD + 2), rst, 0)
+        jax.lax.fori_loop(0, nsub, rst, 0)
 
     def body(i, cnt):
         regs = _ray_regs(rays_ref[:, pl.ds(i * sub, sub)], sub)

@@ -218,7 +218,9 @@ def render(scene: SceneData, opts: RenderOptions, progress: bool = False,
     # integrators in ONE device dispatch (no per-chunk host syncs, no
     # dead-lane passes) — the scan driver remains for checkpoint/resume
     # and as the parity oracle (driver="scan").
-    wf_ok = opts.integrator in ("path", "directlighting", "whitted") and \
+    has_vols = scene.volumes is not None and scene.volumes.count > 0
+    wf_ok = (opts.integrator in ("path", "directlighting", "whitted") or
+             (opts.integrator == "photonmap" and not has_vols)) and \
         checkpoint_path is None and not resume and \
         not (opts.writefrequency and opts.writefrequency > 0)
     if opts.driver == "wavefront" or (opts.driver == "auto" and wf_ok):
@@ -230,15 +232,24 @@ def render(scene: SceneData, opts: RenderOptions, progress: bool = False,
     spp = smp.samples_per_pixel(opts.sampler)
     total = xcount * ycount * spp
     chunk = min(opts.chunk_size, total)
-    if opts.integrator in ("photonmap", "exphotonmap"):
-        # Final gather multiplies the per-lane working set by
-        # gather_samples x (2 traversals + photon-grid sweeps); large
-        # chunks exceed the TPU's per-program memory and kill the device
-        # (observed as UNAVAILABLE kernel faults). Measured safe bounds:
-        # photonmap 16K lanes; exphotonmap (adds the radiance-photon
-        # nearest lookup + reservoir direction sampling) 4K lanes.
-        chunk = min(chunk, 1 << (14 if opts.integrator == "photonmap"
-                                 else 12))
+    if opts.integrator == "photonmap":
+        # Final gather runs as ONE flat widened wavefront per depth
+        # (photonmap.py li): chunk x gather_samples rays in flight.
+        # Keep that product <= 2^17 — the measured device ceiling; any
+        # scan wrapped around the widened body (and the r4 per-sample
+        # scan past ~8 steps) kills the TPU with UNAVAILABLE faults.
+        # Effective in-flight gather rays: 131K vs r4's 16K (8x).
+        from .integrators import photonmap as _pm
+        prm_ph = opts.photon if opts.photon else _pm.PhotonParams()
+        if prm_ph.final_gather:
+            chunk = min(chunk, max(1 << 11,
+                                   (1 << 17) // max(prm_ph.gather_samples,
+                                                    1)))
+    elif opts.integrator == "exphotonmap":
+        # exphotonmap's cone-MIS gather still runs the scan form (its
+        # two-strategy per-sample logic resists flattening); measured
+        # safe bound 4K lanes (UNAVAILABLE kernel faults above).
+        chunk = min(chunk, 1 << 12)
 
     # Integrator preprocess (Scene::Render -> Preprocess, core/scene.cpp:38):
     # photon shooting happens here, before the camera-sample loop.

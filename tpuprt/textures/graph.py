@@ -368,6 +368,32 @@ def eval_graph(graph: TexGraph, images, dg):
                 frac2 = jnp.where(same_s & same_t,
                                   jnp.where(point, 0.0, 1.0), area)
                 v = (1.0 - frac2[..., None]) * t1 + frac2[..., None] * t2
+            elif meta.aamode == "supersample":
+                # 4x4 stratified supersampling with Gaussian weights
+                # (textures/checkerboard.cpp:86-141). Deviations from the
+                # reference, both trace-time static: the random stratified
+                # jitter becomes a FIXED jitter table (deterministic, no
+                # rng plumbing into texture eval; cell CENTERS would alias
+                # against the checker's period-2 parity at even-cell
+                # sample spacings), and the child textures are evaluated
+                # once at dg (the graph evaluator computes node values
+                # bottom-up; children are near-universally constants).
+                jit_tab = np.random.default_rng(0x5A).uniform(
+                    size=(4, 4, 2)).astype(np.float32)
+                num = jnp.zeros_like(t1)
+                wsum = 0.0
+                for i in range(4):
+                    for j in range(4):
+                        dx = (i + jit_tab[i, j, 0]) / 4.0 - 0.5
+                        dy = (j + jit_tab[i, j, 1]) / 4.0 - 0.5
+                        ss = s + dx * dsdx + dy * dsdy
+                        ts = t + dx * dtdx + dy * dtdy
+                        wt = float(np.exp(-2.0 * (dx * dx + dy * dy)))
+                        pt = ((jnp.floor(ss).astype(jnp.int32) +
+                               jnp.floor(ts).astype(jnp.int32)) % 2) == 0
+                        num = num + wt * jnp.where(pt[..., None], t1, t2)
+                        wsum += wt
+                v = num / wsum
             else:
                 point = ((jnp.floor(s).astype(jnp.int32) +
                           jnp.floor(t).astype(jnp.int32)) % 2) == 0
