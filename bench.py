@@ -55,12 +55,12 @@ def bench_config3(here):
     from tpuprt.utils.stats import StatsRegistry
 
     scene, opts = load_scene(os.path.join(here, "scenes", "bench3.pbrt"))
-    opts = opts._replace(chunk_size=1 << 17)
+    opts = opts._replace(chunk_size=1 << 17, half_readback=True)
     path_wavefront.render(scene, opts)           # warmup/compile
-    stats = StatsRegistry()
     # Best-of-3: the remote-TPU tunnel adds +-20% run-to-run jitter.
     dt = 1e30
     for _ in range(3):
+        stats = StatsRegistry()   # fresh per run: counters are per-render
         t0 = time.time()
         path_wavefront.render(scene, opts, stats=stats)
         dt = min(dt, time.time() - t0)
@@ -76,7 +76,7 @@ def bench_config4(here):
     # r5 sweep: 2^16 0.684s, 2^17 0.685s, 2^18 0.705s, 2^19 0.711s — the
     # tile walk amortizes per-pass fixed costs in-kernel, so smaller
     # pools (tighter sort bands) now win slightly.
-    opts = opts._replace(chunk_size=1 << 17)
+    opts = opts._replace(chunk_size=1 << 17, half_readback=True)
     R.render(scene, opts)                        # warmup/compile
     dt = 1e30
     for _ in range(3):
@@ -119,7 +119,8 @@ def build_config5_scene(n=708):
         xres=xres, yres=yres,
         sampler=SamplerConfig(kind="lowdiscrepancy", pixelsamples=4),
         filter_kind="box", filter_xwidth=0.5, filter_ywidth=0.5,
-        integrator="directlighting", max_depth=5, chunk_size=1 << 17)
+        integrator="directlighting", max_depth=5, chunk_size=1 << 17,
+        half_readback=True)
     return scene, opts, len(f)
 
 
@@ -128,9 +129,9 @@ def bench_config5():
     from tpuprt.utils.stats import StatsRegistry
     scene, opts, ntris = build_config5_scene()
     R.render(scene, opts)                        # warmup/compile
-    stats = StatsRegistry()
     dt = 1e30
     for _ in range(3):
+        stats = StatsRegistry()   # fresh per run: counters are per-render
         t0 = time.time()
         R.render(scene, opts, stats=stats)
         dt = min(dt, time.time() - t0)
@@ -146,6 +147,7 @@ def bench_config6(here):
     from tpuprt import render as R
 
     scene, opts = load_scene(os.path.join(here, "scenes", "bench6.pbrt"))
+    opts = opts._replace(half_readback=True)
     R.render(scene, opts)                        # warmup/compile
     dt = 1e30
     for _ in range(2):

@@ -40,6 +40,9 @@ def main(argv=None):
     from tpuprt.utils.stats import StatsRegistry
 
     scene, opts = load_scene(args.scene)
+    # The EXR writer stores HALF pixels (reference core/exrio.cpp), so the
+    # CLI reads the film back at transport-matching f16 precision.
+    opts = opts._replace(half_readback=True)
     if args.outfile:
         opts = opts._replace(filename=args.outfile)
     if args.integrator:

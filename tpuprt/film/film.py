@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 
 from ..core.pytree import pytree_dataclass, static
@@ -146,6 +147,15 @@ def develop(film: Film, premultiply_alpha: bool = True):
     if premultiply_alpha:
         pass  # stored unpremultiplied; EXR writer applies if requested
     return rgb, alpha
+
+
+@jax.jit
+def to_half(rgb, alpha):
+    """Final-image transport quantization (RenderOptions.half_readback):
+    clip-to-f16 on device, matching the HALF precision of the reference's
+    EXR output (core/exrio.cpp) while halving host-transfer bytes."""
+    return (jnp.clip(rgb, 0.0, 65504.0).astype(jnp.float16),
+            alpha.astype(jnp.float16))
 
 
 def merge(films):

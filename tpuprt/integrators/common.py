@@ -176,18 +176,16 @@ def batched_visibility(scene: SceneData, segs, needs):
     D = jnp.concatenate([s[1] for s in segs], axis=0)
     MINT = jnp.concatenate([s[2] for s in segs], axis=0)
     MAXT = jnp.concatenate([s[3] for s in segs], axis=0)
-    # Coherence sort for the fused batch only when the accelerator is the
-    # STREAMED (chunked) BVH: there packet<->chunk culling depends on
-    # tight packet unions, and the sort pays for itself (config5_huge
-    # 1.45s unsorted vs 1.17s sorted). On VMEM-resident tables the lanes'
-    # pool order is already coherent per segment group (shared shading-
-    # point origins) and the sort's permutation gathers measured ~4x the
-    # any-hit traversal they fed (r5 xplane: 45 ms/pass of gathers vs
-    # 11 ms of traversal on config4_big, 0.72s -> 0.92s if sorted).
+    # Coherence sort for the fused batch on every BVH: packet<->chunk
+    # culling on the streamed table (config5_huge 1.45s unsorted vs 1.17s
+    # sorted) and packet node-set unions on the VMEM-resident one (mixed
+    # NEE octants visit ~2.4x the nodes unsorted, r5 microbench) both
+    # depend on tight packet unions. The r4 objection to sorting here was
+    # permutation cost — now one [N,8] row-gather + one packed [N,2]
+    # un-permute gather (~10 ms total at 393K lanes vs the 45 ms of four
+    # separate 1D gathers it replaced).
     from ..scene.data import BvhAccel as _Bvh
-    from ..ops import bvh_pallas as _bp
-    do_sort = isinstance(scene.accel, _Bvh) and \
-        scene.accel.n_nodes > _bp.SINGLE_MAX_NODES
+    do_sort = isinstance(scene.accel, _Bvh)
     out = []
     ofs = 0
     if any(nd == "nearest" for nd in needs):

@@ -608,4 +608,8 @@ def render(scene: SceneData, opts, progress: bool = False, stats=None,
         stats.add("Camera", "Samples taken", total)
 
     rgb, alpha = _develop(film)
+    if getattr(opts, "half_readback", False):
+        rgb, alpha = film_mod.to_half(rgb, alpha)
+        return (np.asarray(rgb).astype(np.float32),
+                np.asarray(alpha).astype(np.float32))
     return np.asarray(rgb), np.asarray(alpha)

@@ -22,6 +22,7 @@ VPU work instead of ~0.5 ms of XLA scheduling.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -1290,15 +1291,18 @@ def intersect(bvh, o, d, mint, maxt, any_hit: bool = False,
         pad = jnp.zeros((8, Np - N), jnp.float32)
         pad = pad.at[6].set(1.0).at[7].set(-1.0)
         rays = jnp.concatenate([rays, pad], axis=1)
+    sub = int(os.environ.get("TPUPRT_BVH_SUB", "0")) or None
     if bvh.nodesT is not None:
         if chunked:
             t, ids = traverse_tiles_chunked(
                 bvh.nodesT, bvh.nodeskip, bvh.nodemeta, bvh.selfbb, rays,
-                nn=bvh.n_nodes, any_hit=any_hit, interpret=interpret)
+                nn=bvh.n_nodes, any_hit=any_hit, interpret=interpret,
+                sub=sub)
         else:
             t, ids = traverse_tiles(
                 bvh.nodesT, bvh.nodeskip, bvh.nodemeta, rays,
-                nn=bvh.n_nodes, any_hit=any_hit, interpret=interpret)
+                nn=bvh.n_nodes, any_hit=any_hit, interpret=interpret,
+                sub=sub)
     else:
         nodes = bvh.nodes
         if nodes.shape[1] != 128:
@@ -1315,6 +1319,13 @@ def intersect(bvh, o, d, mint, maxt, any_hit: bool = False,
     ids = ids[:N]
     if order is not None:
         inv = jnp.zeros_like(order).at[order].set(jnp.arange(N))
-        t = t[inv]
-        ids = ids[inv]
+        # ONE [N,2] row-gather for the un-permute (two separate 1D
+        # gathers measured ~12 ms vs ~3 ms packed at 393K lanes). The
+        # packed pair rides the INT domain: bitcasting ids into f32 makes
+        # NaN bit patterns (-1 = 0xFFFFFFFF) that TPU copies canonicalize.
+        packed = jnp.stack(
+            [jax.lax.bitcast_convert_type(t, jnp.int32), ids], axis=1)
+        res = packed[inv]
+        t = jax.lax.bitcast_convert_type(res[:, 0], jnp.float32)
+        ids = res[:, 1]
     return t, ids, ids >= 0
