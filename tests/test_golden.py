@@ -67,9 +67,11 @@ def test_golden2_grid_mesh_arealight():
 
 
 def test_golden3_path_cornell():
-    # Full 32 spp vs the 32-spp golden; the residual is two independent
-    # 32-spp noise realizations through glass caustics.
-    _compare(3, tol_rel=0.15, tol_mean=0.04)
+    # golden3 re-rendered at 256 spp this round (VERDICT r4 item 3:
+    # tighten bands by averaging reference noise out of the golden); we
+    # render 64 spp, so the residual is OUR glass-caustic noise alone.
+    # Observed blurred-rel 7.2% on 2026-08-21.
+    _compare(3, spp=64, tol_rel=0.10, tol_mean=0.03)
 
 
 def test_golden4_kdtree_textured_env():
@@ -93,8 +95,23 @@ def test_golden7_exphotonmap():
 
 
 def test_golden8_igi():
-    _compare(8, tol_rel=0.30, tol_mean=0.10)
+    # r5: nsets raised 4 -> 64 in config8 (both renderers) so the
+    # different virtual-light realizations average out, and the golden
+    # re-rendered at 32 spp; the r4 "structural" 30% band tightened.
+    _compare(8, spp=16, tol_rel=0.15, tol_mean=0.05)
 
 
 def test_golden9_irradiancecache():
-    _compare(9, tol_rel=0.15, tol_mean=0.06)
+    # r5: maxerror tightened 0.2 -> 0.1 in config9 (both renderers:
+    # denser caches agree better) and the golden re-rendered at 32 spp.
+    _compare(9, spp=16, tol_rel=0.10, tol_mean=0.04)
+
+
+def test_golden10_bidirectional():
+    # Bidirectional golden (VERDICT r4 item 4 / r5 item 3). The scene is
+    # constructed so the reference's bidirectional BUGS are inert: light
+    # I == (1,1,1) (bidirectional.cpp:106 overwrites the sampled Le with
+    # lightWeight/lightPdf, dropping the spectrum) and no emitter is
+    # camera-visible (the reference drops that term). Golden at 128 spp,
+    # ours at the scene's 8 spp; observed blurred-rel 5.7%.
+    _compare(10, tol_rel=0.12, tol_mean=0.04)

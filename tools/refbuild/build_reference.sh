@@ -18,6 +18,11 @@ import sys
 dst = sys.argv[1]
 p = f"{dst}/Makefile"
 s = open(p).read()
+# Upstream's Makefile omits the bidirectional integrator from the
+# default plugin list; golden10 needs it.
+s = s.replace("INTEGRATORS  = directlighting emission irradiancecache \\",
+              "INTEGRATORS  = directlighting emission irradiancecache "
+              "bidirectional \\")
 s = s.replace("EXRINCLUDE=-I/usr/local/include/OpenEXR -I/opt/local/include/OpenEXR -I/usr/local/include/OpenEXR",
               "EXRINCLUDE=-I/usr/include/OpenEXR -I/usr/include/Imath")
 s = s.replace("EXRLIBDIR=-L/usr/local/lib -L/opt/local/lib", "EXRLIBDIR=")
