@@ -130,8 +130,14 @@ def test_grad_silhouette_matches_fd():
         b = SceneBuilder()
         dark = b.matte(kd=(0.0, 0.0, 0.0))
         s = 0.6
-        quad = np.asarray([[-s, -s, 1.0], [s, -s, 1.0],
-                           [s, s, 1.0], [-s, s, 1.0]], np.float32)
+        # Tilted ~15 degrees in-plane: axis-aligned edges cross all pixel
+        # centers simultaneously, making the POINT-SAMPLED loss a stair
+        # function of cx whose secant diverges from the continuous
+        # derivative the estimator computes.
+        c15, s15 = np.cos(0.26), np.sin(0.26)
+        sq = np.asarray([[-s, -s], [s, -s], [s, s], [-s, s]], np.float32)
+        rot = sq @ np.asarray([[c15, s15], [-s15, c15]], np.float32)
+        quad = np.concatenate([rot, np.ones((4, 1), np.float32)], axis=1)
         b.add_trianglemesh(np.eye(4), [[0, 1, 2], [0, 2, 3]], quad,
                            material=dark)
         b.add_infinite_light(np.eye(4), L=(1.0, 1.0, 1.0))
@@ -145,11 +151,14 @@ def test_grad_silhouette_matches_fd():
         return dataclasses.replace(
             sc, triangles=dataclasses.replace(sc.triangles, verts=verts))
 
-    opts = _OPTS._replace(xres=xres, yres=yres, chunk_size=xres * yres)
-    lin = np.arange(xres * yres)
-    px = jnp.asarray(lin % xres, jnp.int32)
-    py = jnp.asarray(lin // xres, jnp.int32)
-    si = jnp.zeros(xres * yres, jnp.int32)
+    spp = 4   # jittered sub-pixel samples smooth the loss in cx
+    opts = _OPTS._replace(
+        xres=xres, yres=yres, chunk_size=xres * yres * spp,
+        sampler=SamplerConfig(kind="lowdiscrepancy", pixelsamples=spp))
+    lin = np.arange(xres * yres * spp)
+    px = jnp.asarray((lin // spp) % xres, jnp.int32)
+    py = jnp.asarray((lin // spp) // xres, jnp.int32)
+    si = jnp.asarray(lin % spp, jnp.int32)
 
     rgb_t, _ = R.render(occluder_scene(0.2), opts._replace(driver="scan"))
     target = jnp.asarray(rgb_t)
@@ -160,13 +169,14 @@ def test_grad_silhouette_matches_fd():
             n_edge_samples=4096, seed=3)
 
     g = float(jax.grad(loss_of_cx)(0.0))
-    eps = 5e-2
+    eps = 1e-1
     fd = (float(loss_of_cx(eps)) - float(loss_of_cx(-eps))) / (2 * eps)
     # The interior gradient alone is ~0 here (flat radiance both sides);
     # everything must come from the boundary term.
     assert fd < -1e-3, fd     # loss decreases toward the target
     assert g < 0, (g, fd)
-    assert abs(g - fd) < 0.25 * abs(fd), (g, fd)
+    # r5: stratified (edge, u) sampling tightened this from 0.25.
+    assert abs(g - fd) < 0.10 * abs(fd), (g, fd)
 
 
 def test_grad_texture_texel_matches_fd():
@@ -367,3 +377,172 @@ def test_grad_through_bvh_recompute_10k_tris():
     fd = (float(loss_of_dx(eps)) - float(loss_of_dx(-eps))) / (2 * eps)
     assert abs(fd) > 1e-3, fd
     assert abs(g - fd) < 0.02 * abs(fd), (g, fd)
+
+
+def _floor_camera_scene(cx, light="point", occluder_y=1.5):
+    """Matte floor seen obliquely; an occluder quad OUTSIDE the camera
+    frustum between the light and the floor, translated by cx. The loss
+    changes only through where the occluder's SHADOW falls — a
+    secondary-visibility boundary term (VERDICT r5 item 4)."""
+    xres = yres = 48
+    b = SceneBuilder()
+    fl = b.matte(kd=(0.7, 0.7, 0.7))
+    dark = b.matte(kd=(0.2, 0.2, 0.2))
+    floor = np.asarray([[-3, 0, -3], [3, 0, -3], [3, 0, 3], [-3, 0, 3]],
+                       np.float32)
+    b.add_trianglemesh(np.eye(4), [[0, 1, 2], [0, 2, 3]], floor,
+                       material=fl)
+    s = 0.5
+    quad = np.asarray([[-s, occluder_y, -s], [s, occluder_y, -s],
+                       [s, occluder_y, s], [-s, occluder_y, s]],
+                      np.float32)
+    mid = b.add_trianglemesh(np.eye(4), [[0, 1, 2], [0, 2, 3]], quad,
+                             material=dark)
+    if light == "point":
+        b.add_point_light(np.asarray(tf.translate([0.0, 4.0, 0.0])),
+                          intensity=(25.0,) * 3)
+    else:
+        lq = np.asarray([[-0.6, 4.0, -0.6], [0.6, 4.0, -0.6],
+                         [0.6, 4.0, 0.6], [-0.6, 4.0, 0.6]], np.float32)
+        lid = b.add_trianglemesh(np.eye(4), [[0, 1, 2], [0, 2, 3]], lq,
+                                 material=dark)
+        b.add_area_light_mesh(lid, L=(14.0,) * 3)
+    # Camera low and close, narrow fov: the occluder (y=1.5) and light
+    # are out of frame; only the floor (and its shadow) is visible.
+    c2w = np.asarray(tf.look_at([0, 0.8, -2.8], [0, 0, 0.3], [0, 1, 0]))
+    b.set_camera(cam.build_projective(
+        0, c2w, np.asarray(tf.perspective(32.0, 1e-2, 100.0)),
+        cam.default_screen_window(xres, yres), xres, yres))
+    sc = b.build()
+    # theta translates the OCCLUDER's vertices only (indices 4..7).
+    shift = jnp.zeros_like(sc.triangles.verts).at[4:8, 0].add(cx)
+    return dataclasses.replace(
+        sc, triangles=dataclasses.replace(
+            sc.triangles, verts=sc.triangles.verts + shift))
+
+
+def _shadow_fd_case(light, n_edge, tol, terms, spp=1):
+    from tpuprt.diff.silhouette import render_loss_with_silhouette
+    xres = yres = 48
+    kind = ("stratified" if spp == 1 else "lowdiscrepancy")
+    sampler = (SamplerConfig(kind="stratified", xsamples=1, ysamples=1,
+                             jitter=False) if spp == 1 else
+               SamplerConfig(kind="lowdiscrepancy", pixelsamples=spp))
+    opts = _OPTS._replace(xres=xres, yres=yres, sampler=sampler,
+                          integrator="directlighting", max_depth=0,
+                          chunk_size=xres * yres * spp)
+    lin = np.arange(xres * yres * spp)
+    px = jnp.asarray((lin // spp) % xres, jnp.int32)
+    py = jnp.asarray((lin // spp) // xres, jnp.int32)
+    si = jnp.asarray(lin % spp, jnp.int32)
+
+    rgb_t, _ = R.render(_floor_camera_scene(0.25, light),
+                        opts._replace(driver="scan"))
+    target = jnp.asarray(rgb_t)
+
+    def loss_of_cx(cx):
+        return render_loss_with_silhouette(
+            _floor_camera_scene(cx, light), opts, px, py, si, target,
+            n_edge_samples=n_edge, seed=5, terms=terms)
+
+    g = float(jax.grad(loss_of_cx)(0.0))
+    eps = 5e-2
+    fd = (float(loss_of_cx(eps)) - float(loss_of_cx(-eps))) / (2 * eps)
+    assert fd < -1e-4, fd          # moving toward the target helps
+    assert g < 0, (g, fd)
+    assert abs(g - fd) < tol * abs(fd), (g, fd)
+
+
+def test_grad_shadow_silhouette_point_matches_fd():
+    """Point-light shadow boundary: the occluder is out of frame, so the
+    ENTIRE gradient is the projected shadow curve's sweep (FD <= 10%,
+    VERDICT r5 item 4)."""
+    _shadow_fd_case("point", n_edge=4096, tol=0.10, terms=("shadow",))
+
+
+def test_grad_shadow_silhouette_area_matches_fd():
+    """Area-light shadow boundary via the light-plane estimator: the
+    penumbra is smooth in the image, so the jump is sampled on the
+    EMITTER surface with paired shadow rays."""
+    _shadow_fd_case("area", n_edge=4096, tol=0.25, terms=("area",),
+                    spp=4)
+
+
+def test_grad_sphere_rim_matches_fd():
+    """Sphere (quadric) rim silhouette: a dark sphere against a bright
+    env — the loss moves only through the rim sweep (VERDICT r5 item 4:
+    quadric rims were uncovered in r4)."""
+    from tpuprt.diff.silhouette import render_loss_with_silhouette
+    xres = yres = 48
+
+    def sphere_scene(cx):
+        b = SceneBuilder()
+        dark = b.matte(kd=(0.0, 0.0, 0.0))
+        b.add_sphere(np.eye(4), 0.8, material=dark)
+        b.add_infinite_light(np.eye(4), L=(1.0, 1.0, 1.0))
+        c2w = np.asarray(tf.look_at([0, 0, -4], [0, 0, 0], [0, 1, 0]))
+        b.set_camera(cam.build_projective(
+            0, c2w, np.asarray(tf.perspective(45.0, 1e-2, 100.0)),
+            cam.default_screen_window(xres, yres), xres, yres))
+        sc = b.build()
+        o2w = jnp.asarray(np.asarray(sc.quadrics.o2w)).at[0, 0, 3].add(cx)
+        w2o = jnp.asarray(np.asarray(sc.quadrics.w2o)).at[0, 0, 3].add(-cx)
+        return dataclasses.replace(
+            sc, quadrics=dataclasses.replace(sc.quadrics, o2w=o2w,
+                                             w2o=w2o))
+
+    opts = _OPTS._replace(xres=xres, yres=yres, integrator="whitted",
+                          chunk_size=xres * yres)
+    lin = np.arange(xres * yres)
+    px = jnp.asarray(lin % xres, jnp.int32)
+    py = jnp.asarray(lin // xres, jnp.int32)
+    si = jnp.zeros(xres * yres, jnp.int32)
+    rgb_t, _ = R.render(sphere_scene(0.15), opts._replace(driver="scan"))
+    target = jnp.asarray(rgb_t)
+
+    def loss_of_cx(cx):
+        return render_loss_with_silhouette(
+            sphere_scene(cx), opts, px, py, si, target,
+            n_edge_samples=2048, seed=7, terms=("rim",))
+
+    g = float(jax.grad(loss_of_cx)(0.0))
+    eps = 5e-2
+    fd = (float(loss_of_cx(eps)) - float(loss_of_cx(-eps))) / (2 * eps)
+    assert fd < -1e-3 and g < 0, (g, fd)
+    assert abs(g - fd) < 0.10 * abs(fd), (g, fd)
+
+
+def test_train_step_sharded_silhouette_flag():
+    """train_step_sharded(boundary=True) carries the visibility term:
+    on the occluder scene the interior-only grad is ~0 while the
+    boundary-augmented grad matches the FD sign and magnitude."""
+    from jax.sharding import Mesh
+    from tpuprt.parallel import shard as sh
+    from tpuprt.diff.silhouette import mesh_edges
+
+    sc = _floor_camera_scene(0.0, "point")
+    xres = yres = 48
+    sampler = SamplerConfig(kind="stratified", xsamples=1, ysamples=1,
+                            jitter=False)
+    opts = _OPTS._replace(xres=xres, yres=yres, sampler=sampler,
+                          integrator="directlighting", max_depth=0,
+                          chunk_size=xres * yres)
+    rgb_t, _ = R.render(_floor_camera_scene(0.25, "point"),
+                        opts._replace(driver="scan"))
+    target = jnp.asarray(rgb_t)
+    lin = np.arange(xres * yres)
+    px = jnp.asarray(lin % xres, jnp.int32)
+    py = jnp.asarray(lin // xres, jnp.int32)
+    si = jnp.zeros(xres * yres, jnp.int32)
+    mesh = sh.make_mesh(2)
+    topo = mesh_edges(np.asarray(sc.triangles.idx))
+
+    loss0, g0 = sh.train_step_sharded(sc, opts, target, px, py, si, mesh)
+    loss1, g1 = sh.train_step_sharded(sc, opts, target, px, py, si, mesh,
+                                      boundary=True, topology=topo,
+                                      n_edge_samples=2048)
+    assert abs(float(loss0) - float(loss1)) < 1e-5   # value unchanged
+    gv0 = float(np.asarray(g0.triangles.verts)[4:8, 0].sum())
+    gv1 = float(np.asarray(g1.triangles.verts)[4:8, 0].sum())
+    assert abs(gv0) < 1e-3 * max(abs(gv1), 1e-9), (gv0, gv1)
+    assert gv1 < 0, gv1           # toward the target (occluder at +0.25)

@@ -122,12 +122,26 @@ def split_float_params(scene: SceneData):
 
 
 def train_step_sharded(scene: SceneData, opts: R.RenderOptions, target,
-                       px, py, s_idx, mesh: Mesh):
+                       px, py, s_idx, mesh: Mesh, boundary: bool = False,
+                       topology=None, n_edge_samples: int = 1024,
+                       seed: int = 0):
     """One inverse-rendering step: per-device loss grads, psum over mesh.
+
+    boundary=True augments the gradient with the silhouette/visibility
+    boundary terms (diff/silhouette.py: primary edges, sphere rims,
+    delta- and area-light shadow curves) — the loss VALUE is unchanged.
+    Pass topology=mesh_edges(np.asarray(scene.triangles.idx)) computed
+    outside jit (edge extraction needs concrete indices).
 
     Returns (loss, grads) with grads a SceneData-shaped pytree (None outside
     differentiated float leaves).
     """
+    if boundary:
+        from ..diff.silhouette import (mesh_edges,
+                                       render_loss_with_silhouette)
+        if topology is None:
+            import numpy as _np
+            topology = mesh_edges(_np.asarray(scene.triangles.idx))
     axis = mesh.axis_names[0]
     params, rebuild, treedef, is_float = split_float_params(scene)
     leaves_static = jax.tree.flatten(scene)[0]
@@ -143,6 +157,11 @@ def train_step_sharded(scene: SceneData, opts: R.RenderOptions, target,
             merged = [next(it) if f else next(rest_it)
                       for f in is_float]
             sc = jax.tree.unflatten(treedef, merged)
+            if boundary:
+                return render_loss_with_silhouette(
+                    sc, opts, pxs, pys, sis, tgt,
+                    n_edge_samples=n_edge_samples, seed=seed,
+                    topology=topology)
             return render_loss_fn(sc, opts, pxs, pys, sis, tgt)
 
         l, g = jax.value_and_grad(loss_of_params)(prm)
