@@ -153,3 +153,84 @@ def test_instance_transform_gradient():
     # Raising the instance by dy shortens every down-ray's t by ~dy.
     assert fd < 0, fd
     assert abs(g_ad - fd) < 0.05 * abs(fd), (g_ad, fd)
+
+
+def test_mirrored_instance_matches_duplication():
+    """A handedness-swapping (mirror) instance transform must orient
+    normals like the duplication path, which folds swaps_handedness from
+    the full ctm (ADVICE r4; reference core/api.cpp shape build)."""
+    place = "  Translate -1.2 0 0\n  Scale -1 1 1\n  Rotate 25 0 1 0\n"
+    s_i = HEAD + PYRAMID + ("AttributeBegin\n" + place +
+                            '  ObjectInstance "pyr"\nAttributeEnd\n') + \
+        "WorldEnd\n"
+    s_d = HEAD + ("AttributeBegin\n" + place +
+                  '  Material "matte" "color Kd" [0.3 0.5 0.8]\n'
+                  '  Shape "trianglemesh" "integer indices" '
+                  "[0 1 4  1 2 4  2 3 4  3 0 4  0 2 1  0 3 2]\n"
+                  '    "point P" [-0.4 -0.5 -0.4  0.4 -0.5 -0.4  '
+                  "0.4 -0.5 0.4  -0.4 -0.5 0.4  0 0.45 0]\n"
+                  "AttributeEnd\n") + "WorldEnd\n"
+    sc_i, opts = load_scene_string(s_i)
+    sc_d, _ = load_scene_string(s_d)
+    opts = opts._replace(filter_kind="box", filter_xwidth=0.5,
+                         filter_ywidth=0.5, chunk_size=48 * 48,
+                         driver="scan")
+    assert sc_i.instances is not None and sc_i.instances.count == 1
+    assert float(np.asarray(sc_i.instances.inst_sign)[0]) == -1.0
+    rgb_i, _ = R.render(sc_i, opts)
+    rgb_d, _ = R.render(sc_d, opts)
+    assert float(np.abs(rgb_i).sum()) > 0.0
+    np.testing.assert_allclose(rgb_i, rgb_d, atol=2e-3, rtol=2e-3)
+
+
+def test_instanced_shading_geometry_matches_main():
+    """Instanced hits carry full shading geometry: interpolated shading
+    normals AND dndu/dndv (VERDICT r4: instanced dn was zero where the
+    reference transforms it, core/primitive.cpp:75-85)."""
+    import jax.numpy as jnp
+    from tpuprt.accel import intersect as isect
+
+    # A two-triangle patch with bent vertex normals and uvs.
+    mesh = ('Shape "trianglemesh" "integer indices" [0 1 2  0 2 3]\n'
+            '  "point P" [-1 0 -1  1 0 -1  1 0 1  -1 0 1]\n'
+            '  "float uv" [0 0  1 0  1 1  0 1]\n'
+            '  "normal N" [-0.4 1 -0.4  0.4 1 -0.4  0.4 1 0.4  '
+            "-0.4 1 0.4]\n")
+    head = ('Film "image" "integer xresolution" [16] '
+            '"integer yresolution" [16]\n'
+            "LookAt 0 3 0  0 0 0  0 0 1\n"
+            'Camera "perspective" "float fov" [40]\n'
+            "WorldBegin\n"
+            'LightSource "distant" "color L" [1 1 1]\n')
+    tail = "WorldEnd\n"
+    inst = (head + 'ObjectBegin "patch"\n' + mesh + "ObjectEnd\n" +
+            "AttributeBegin\n  Translate 0.2 0 0.1\n  Rotate 30 0 1 0\n"
+            '  ObjectInstance "patch"\nAttributeEnd\n' + tail)
+    dup = (head + "AttributeBegin\n  Translate 0.2 0 0.1\n"
+           "  Rotate 30 0 1 0\n" + mesh + "AttributeEnd\n" + tail)
+    sc_i, _ = load_scene_string(inst)
+    sc_d, _ = load_scene_string(dup)
+
+    n = 32
+    xs = np.linspace(-0.5, 0.7, n).astype(np.float32)
+    o = jnp.asarray(np.stack([xs, np.full(n, 3.0, np.float32),
+                              xs * 0.3], -1))
+    d = jnp.tile(jnp.asarray([[0.0, -1.0, 0.0]], jnp.float32), (n, 1))
+    mint = jnp.full((n,), 1e-3)
+    maxt = jnp.full((n,), 1e30)
+
+    out = []
+    for sc in (sc_i, sc_d):
+        t, pid, hit = isect.intersect_ids(sc, o, d, mint, maxt)
+        dg = isect.hit_geometry(sc, jnp.maximum(pid, 0), o, d, t)
+        out.append((np.asarray(hit), {k: np.asarray(dg[k])
+                                      for k in ("sn", "dndu", "dndv",
+                                                "u", "v", "p")}))
+    (hit_i, g_i), (hit_d, g_d) = out
+    assert (hit_i == hit_d).all() and hit_i.any()
+    m = hit_i
+    for k in ("sn", "dndu", "dndv", "u", "v", "p"):
+        np.testing.assert_allclose(g_i[k][m], g_d[k][m], atol=1e-4,
+                                   rtol=1e-3, err_msg=k)
+    # The bent normals make dn genuinely nonzero.
+    assert np.abs(g_i["dndu"][m]).max() > 0.1

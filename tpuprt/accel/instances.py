@@ -117,8 +117,12 @@ def build_instances(protos, instances) -> InstanceTable:
             lo_all = np.minimum(lo_all, wlo)
             hi_all = np.maximum(hi_all, whi)
 
+    signs = np.asarray([1.0 if np.linalg.det(np.asarray(m)[:3, :3]) >= 0
+                        else -1.0 for m in o2w_list], np.float32) \
+        if o2w_list else np.zeros((0,), np.float32)
     dp = jax.device_put
     return InstanceTable(
+        inst_sign=dp(signs),
         verts=dp(np.concatenate(all_v)), idx=dp(np.concatenate(all_i)),
         uv=dp(np.concatenate(all_uv)), normals=dp(np.concatenate(all_n)),
         has_normals=dp(np.concatenate(all_hn)),
@@ -232,7 +236,9 @@ def hit_geometry(inst: InstanceTable, code, o, d, t):
     dpdu = jnp.where(degen[..., None], fu, dpdu)
     dpdv = jnp.where(degen[..., None], fv, dpdv)
 
-    flip = inst.flip_normal[tid]
+    # Mirror instances swap handedness: fold the per-instance sign so
+    # orientation matches the duplication path (ctm @ sctm flip).
+    flip = inst.flip_normal[tid] * inst.inst_sign[ii]
     nn = vm.normalize(vm.cross(dpdu, dpdv)) * flip[..., None]
 
     has_n = inst.has_normals[tid]
@@ -246,8 +252,19 @@ def hit_geometry(inst: InstanceTable, code, o, d, t):
     ss = vm.normalize(dpdu)
     ts = vm.normalize(vm.cross(ns, ss))
     ss = vm.cross(ts, ns)
+    # dndu/dndv of the world-space shading normals from the uv deltas
+    # (trianglemesh.cpp:104-123 semantics; the reference transforms the
+    # prototype's dn by the instance transform, core/primitive.cpp:75-85 —
+    # equivalent to differencing the already-transformed normals).
+    dn1 = n0 - n2
+    dn2 = n1 - n2
+    dndu = (dv2[..., None] * dn1 - dv1[..., None] * dn2) * invdet[..., None]
+    dndv = (-du2[..., None] * dn1 + du1[..., None] * dn2) * invdet[..., None]
+    zero = jnp.zeros_like(dndu)
+    bad = degen | ~has_n
+    dndu = jnp.where(bad[..., None], zero, dndu)
+    dndv = jnp.where(bad[..., None], zero, dndv)
     return dict(p=p, nn=nn, sn=ns, ss=ss, ts=ts, u=u, v=v,
-                dpdu=dpdu, dpdv=dpdv,
-                dndu=jnp.zeros_like(dpdu), dndv=jnp.zeros_like(dpdv),
+                dpdu=dpdu, dpdv=dpdv, dndu=dndu, dndv=dndv,
                 material=inst.material[tid],
                 area_light=jnp.full_like(tid, -1))

@@ -351,6 +351,11 @@ class InstanceTable:
     entry_bbox: jnp.ndarray   # f32[E,8] world bbox (lo3, hi3, pad2)
     bounds_lo: jnp.ndarray = None   # f32[3] world bounds over instances
     bounds_hi: jnp.ndarray = None
+    # Per-instance orientation sign: -1 when the instance o2w swaps
+    # handedness (mirror transforms), folded into the hit normal so a
+    # mirrored ObjectInstance matches the duplication path's flip
+    # (ADVICE r4; reference folds it via ctm @ sctm at shape build).
+    inst_sign: jnp.ndarray = None   # f32[I]
     count: int = static(default=0)        # instances
     n_tris: int = static(default=0)       # total prototype triangles
     n_entries: int = static(default=0)
