@@ -234,3 +234,109 @@ def test_instanced_shading_geometry_matches_main():
                                    rtol=1e-3, err_msg=k)
     # The bent normals make dn genuinely nonzero.
     assert np.abs(g_i["dndu"][m]).max() > 0.1
+
+
+def test_instanced_emissive_matches_duplication():
+    """Emissive mesh prototypes instance WITHOUT geometry duplication
+    (AREA_GEOM_INST): each placement is its own light, geometry and area
+    CDF are shared in object space (VERDICT r5 item 5)."""
+    head = ('Film "image" "integer xresolution" [48] '
+            '"integer yresolution" [48]\n'
+            "LookAt 0 1.2 -4  0 0 0  0 1 0\n"
+            'Camera "perspective" "float fov" [52]\n'
+            'Sampler "lowdiscrepancy" "integer pixelsamples" [8]\n'
+            'SurfaceIntegrator "directlighting"\n'
+            "WorldBegin\n"
+            'Material "matte" "color Kd" [0.7 0.6 0.5]\n'
+            'Shape "trianglemesh" "integer indices" [0 1 2 0 2 3]\n'
+            '  "point P" [-6 -0.5 -6  6 -0.5 -6  6 -0.5 6  -6 -0.5 6]\n')
+    lamp = ('  AreaLightSource "area" "color L" [6 5 4]\n'
+            '  Material "matte" "color Kd" [0.2 0.2 0.2]\n'
+            '  Shape "trianglemesh" "integer indices" [0 1 2  0 2 3]\n'
+            '    "point P" [-0.3 0 -0.3  0.3 0 -0.3  0.3 0 0.3'
+            "  -0.3 0 0.3]\n")
+    places = [(-1.2, 0.9, 0.0, 35.0), (0.2, 1.1, -0.5, -20.0),
+              (1.4, 0.8, 0.6, 80.0)]
+
+    def place(x, y, z, rot):
+        return (f"AttributeBegin\n  Translate {x} {y} {z}\n"
+                f"  Rotate {rot} 0 1 0\n  Rotate 180 1 0 0\n")
+
+    s_i = head + 'ObjectBegin "lamp"\n' + lamp + "ObjectEnd\n"
+    for x, y, z, r in places:
+        s_i += place(x, y, z, r) + '  ObjectInstance "lamp"\nAttributeEnd\n'
+    s_i += "WorldEnd\n"
+    s_d = head
+    for x, y, z, r in places:
+        s_d += place(x, y, z, r) + lamp + "AttributeEnd\n"
+    s_d += "WorldEnd\n"
+
+    sc_i, opts = load_scene_string(s_i)
+    sc_d, _ = load_scene_string(s_d)
+    # Geometry shared: the prototype's 2 triangles once, 3 LIGHTS.
+    assert sc_i.instances is not None and sc_i.instances.count == 3
+    assert sc_i.instances.n_tris == 2
+    assert sc_i.triangles.count == 2               # floor only
+    assert sc_i.lights.count == 3
+    assert sc_d.triangles.count == 2 + 2 * 3
+    import numpy as _np
+    assert (_np.asarray(sc_i.instances.inst_area_light) >= 0).all()
+    opts = opts._replace(filter_kind="box", filter_xwidth=0.5,
+                         filter_ywidth=0.5, chunk_size=48 * 48 * 8,
+                         driver="scan")
+    rgb_i, a_i = R.render(sc_i, opts)
+    rgb_d, a_d = R.render(sc_d, opts)
+    assert np.isfinite(rgb_i).all()
+    assert float(rgb_i.sum()) > 0.0
+    # Different light-table layouts draw different sample sequences per
+    # light, so compare converged-ish images, not samples.
+    d = np.abs(rgb_i - rgb_d).mean() / max(rgb_d.mean(), 1e-6)
+    assert d < 0.03, d
+    # Camera-visible emission parity on the lamp pixels themselves.
+    np.testing.assert_allclose(rgb_i.max(), rgb_d.max(), rtol=0.01)
+
+
+def test_instanced_quadrics_fold_transforms():
+    """Quadric prototypes instance by TRANSFORM FOLDING: each placement
+    adds one analytic-quadric row (kind + 2 transforms + params) — the
+    same O(1) storage as the reference's InstancePrimitive — so a shared
+    BLAS would save nothing. Image parity with inline duplication and
+    O(instances) rows, no mesh geometry."""
+    head = ('Film "image" "integer xresolution" [48] '
+            '"integer yresolution" [48]\n'
+            "LookAt 0 1.5 -5  0 0 0  0 1 0\n"
+            'Camera "perspective" "float fov" [50]\n'
+            'Sampler "lowdiscrepancy" "integer pixelsamples" [2]\n'
+            'SurfaceIntegrator "directlighting"\n'
+            "WorldBegin\n"
+            'LightSource "distant" "point from" [2 5 -3] "point to" [0 0 0]'
+            ' "color L" [2.5 2.4 2.2]\n'
+            'Material "matte" "color Kd" [0.7 0.6 0.5]\n'
+            'Shape "trianglemesh" "integer indices" [0 1 2 0 2 3]\n'
+            '  "point P" [-6 -0.5 -6  6 -0.5 -6  6 -0.5 6  -6 -0.5 6]\n')
+    ball = ('  Material "matte" "color Kd" [0.3 0.5 0.8]\n'
+            '  Shape "sphere" "float radius" [0.35]\n')
+    places = [(-1.5, 0.0), (-0.4, 0.5), (0.8, -0.3), (1.6, 0.4)]
+
+    s_i = head + 'ObjectBegin "ball"\n' + ball + "ObjectEnd\n"
+    s_d = head
+    for x, z in places:
+        blk = (f"AttributeBegin\n  Translate {x} 0 {z}\n"
+               "  Rotate 30 0 1 0\n")
+        s_i += blk + '  ObjectInstance "ball"\nAttributeEnd\n'
+        s_d += blk + ball + "AttributeEnd\n"
+    s_i += "WorldEnd\n"
+    s_d += "WorldEnd\n"
+    sc_i, opts = load_scene_string(s_i)
+    sc_d, _ = load_scene_string(s_d)
+    # One analytic row per instance; nothing tessellated, no BLAS protos.
+    assert sc_i.quadrics.count == len(places)
+    assert sc_i.triangles.count == 2
+    assert sc_i.instances is None or sc_i.instances.count == 0
+    opts = opts._replace(filter_kind="box", filter_xwidth=0.5,
+                         filter_ywidth=0.5, chunk_size=48 * 48,
+                         driver="scan")
+    rgb_i, _ = R.render(sc_i, opts)
+    rgb_d, _ = R.render(sc_d, opts)
+    assert float(np.abs(rgb_i).sum()) > 0.0
+    np.testing.assert_allclose(rgb_i, rgb_d, atol=2e-5, rtol=2e-5)

@@ -264,7 +264,16 @@ def hit_geometry(inst: InstanceTable, code, o, d, t):
     bad = degen | ~has_n
     dndu = jnp.where(bad[..., None], zero, dndu)
     dndv = jnp.where(bad[..., None], zero, dndv)
+    if inst.tri_emissive is not None and inst.inst_area_light is not None:
+        # Instanced area emitters: the hit's light id is this instance's
+        # own LightTable row (AREA_GEOM_INST; each instance is a distinct
+        # light with shared object-space geometry).
+        area_light = jnp.where(inst.tri_emissive[tid],
+                               inst.inst_area_light[ii],
+                               jnp.full_like(tid, -1))
+    else:
+        area_light = jnp.full_like(tid, -1)
     return dict(p=p, nn=nn, sn=ns, ss=ss, ts=ts, u=u, v=v,
                 dpdu=dpdu, dpdv=dpdv, dndu=dndu, dndv=dndv,
                 material=inst.material[tid],
-                area_light=jnp.full_like(tid, -1))
+                area_light=area_light)

@@ -149,6 +149,15 @@ def sample_emission(scene: SceneData, light_id, u1, u2, u3, u4, u5):
             ps_t, ns_t = lt._sample_area_tris(scene, light_id, o, u1, u2, u5)
         else:
             ps_t, ns_t = ps_q, ns_q
+        # Instanced emitters (AREA_GEOM_INST) shoot from the shared
+        # prototype surface under the light's instance transform.
+        if scene.lights.inst_area and scene.instances is not None and \
+                scene.instances.count > 0:
+            ps_i, ns_i = lt._sample_area_inst(scene, light_id, u1, u2, u5)
+            from ..scene.data import AREA_GEOM_INST as _AGI
+            use_i = (g(lights.area_geom_kind) == _AGI)[..., None]
+            ps_t = jnp.where(use_i, ps_i, ps_t)
+            ns_t = jnp.where(use_i, ns_i, ns_t)
         ps = jnp.where(is_quad[..., None], ps_q, ps_t)
         ns = jnp.where(is_quad[..., None], ns_q, ns_t)
         da = mc.uniform_sample_sphere(u3, u4)

@@ -26,7 +26,8 @@ import jax.numpy as jnp
 from ..core import mc, spectrum as spec, transform as tf, vecmath as vm
 from ..core.vecmath import RAY_EPSILON
 from ..scene.data import (
-    AREA_GEOM_QUADRIC, AREA_GEOM_TRIS, LIGHT_AREA, LIGHT_DISTANT,
+    AREA_GEOM_INST, AREA_GEOM_QUADRIC, AREA_GEOM_TRIS, LIGHT_AREA,
+    LIGHT_DISTANT,
     LIGHT_GONIOMETRIC, LIGHT_INFINITE, LIGHT_POINT, LIGHT_PROJECTION,
     LIGHT_SPOT, SceneData,
 )
@@ -155,6 +156,47 @@ def _sample_area_tris(scene: SceneData, light_id, p, u1, u2, u3):
         hi = jnp.where(go_right, hi, mid)
     tid = g(lights.area_first) + jnp.clip(lo, 0, jnp.maximum(cnt - 1, 0))
     ps, ns = tri_mod.sample_uniform(scene.triangles, tid, u1, u2)
+    return ps, ns
+
+
+def _sample_area_inst(scene: SceneData, light_id, u1, u2, u3):
+    """ShapeSet sampling for AREA_GEOM_INST lights: CDF-pick a prototype
+    triangle (object space, SHARED across instances), uniform-sample it,
+    transform by the light's l2w — which IS the instance transform
+    (similarity, so the object-space area CDF stays correct)."""
+    import math
+    from ..core import transform as tfm
+    lights = scene.lights
+    inst = scene.instances
+    g = lambda a: a[light_id]
+    off = g(lights.cdf_offset)
+    cnt = g(lights.area_count)
+    lo = jnp.zeros_like(off)
+    hi = jnp.maximum(cnt - 1, 0)
+    steps = max(1, int(math.ceil(math.log2(
+        max(lights.max_area_count, 2)))) + 1)
+    for _ in range(steps):
+        mid = (lo + hi) // 2
+        cdf_mid = lights.area_cdf[off + mid + 1]
+        go_right = u3 > cdf_mid
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+    tid = g(lights.area_first) + jnp.clip(lo, 0, jnp.maximum(cnt - 1, 0))
+    i3 = inst.idx[tid]
+    p0 = inst.verts[i3[..., 0]]
+    p1 = inst.verts[i3[..., 1]]
+    p2 = inst.verts[i3[..., 2]]
+    b0, b1 = mc.uniform_sample_triangle(u1, u2)
+    ps_o = (b0[..., None] * p0 + b1[..., None] * p1 +
+            (1.0 - b0 - b1)[..., None] * p2)
+    ns_o = vm.normalize(vm.cross(p1 - p0, p2 - p0)) * \
+        inst.flip_normal[tid][..., None]
+    l2w_c = tfm.row_components(lights.l2w, light_id)
+    w2l_c = tfm.row_components(lights.w2l, light_id)
+    ps = tfm.rows_apply_point(l2w_c, ps_o)
+    # params[5] = sign(det l2w): mirror instances swap orientation.
+    sign = g(lights.params)[..., 5]
+    ns = vm.normalize(tfm.rows_apply_normal(w2l_c, ns_o)) * sign[..., None]
     return ps, ns
 
 
@@ -288,6 +330,13 @@ def sample(scene: SceneData, light_id, p, n, u1, u2, u3):
             ps_t, ns_t = _sample_area_tris(scene, light_id, p, u1, u2, u3)
         else:
             ps_t, ns_t = ps_q, ns_q
+        # Instanced emitters (AREA_GEOM_INST; trace-time static flag).
+        if lights.inst_area and scene.instances is not None and \
+                scene.instances.count > 0:
+            ps_i, ns_i = _sample_area_inst(scene, light_id, u1, u2, u3)
+            use_i = (g(lights.area_geom_kind) == AREA_GEOM_INST)[..., None]
+            ps_t = jnp.where(use_i, ps_i, ps_t)
+            ns_t = jnp.where(use_i, ns_i, ns_t)
         ps_a = jnp.where(is_quad_geom[..., None], ps_q, ps_t)
         ns_a = jnp.where(is_quad_geom[..., None], ns_q, ns_t)
         to_s = ps_a - p

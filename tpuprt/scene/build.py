@@ -102,6 +102,7 @@ class SceneBuilder:
         # Ray-transform instancing: prototype meshes + (proto, o2w) pairs.
         self.protos: List[Dict[str, Any]] = []
         self.instances: List[Tuple[int, np.ndarray]] = []
+        self.instance_area_light: List[int] = []
 
     # ---- textures -------------------------------------------------------
     def add_texture(self, meta: TexNodeMeta, fparams=None, w2t=None) -> int:
@@ -274,7 +275,8 @@ class SceneBuilder:
         return len(self.meshes) - 1
 
     def add_prototype(self, indices, P, N=None, uv=None, material=0,
-                      reverse_orientation=False, o2w=None) -> int:
+                      reverse_orientation=False, o2w=None,
+                      area_light_L=None, area_nsamples=1) -> int:
         """Object-space prototype mesh for ray-transform instancing
         (ObjectBegin geometry; o2w = the definition-time CTM, baked into
         the prototype's object space like api.cpp's shape transform)."""
@@ -297,14 +299,53 @@ class SceneBuilder:
         uvw = np.asarray(uv, np.float32).reshape(-1, 2) \
             if uv is not None else None
         flip = -1.0 if (bool(reverse_orientation) ^ flip_swap) else 1.0
-        self.protos.append(dict(verts=P, idx=idx, uv=uvw, normals=nrm,
-                                material=material, flip=flip))
+        self.protos.append(dict(
+            verts=P, idx=idx, uv=uvw, normals=nrm, material=material,
+            flip=flip,
+            area_L=(np.asarray(area_light_L, np.float32)
+                    if area_light_L is not None else None),
+            area_nsamples=area_nsamples))
         return len(self.protos) - 1
 
     def add_instance(self, proto_id: int, o2w) -> int:
         """Place an instance of a prototype under transform o2w
-        (ObjectInstance; reference core/primitive.cpp:66-85)."""
-        self.instances.append((proto_id, np.asarray(o2w, np.float32)))
+        (ObjectInstance; reference core/primitive.cpp:66-85). An EMISSIVE
+        prototype (add_prototype area_light_L=...) makes each instance a
+        DISTINCT area light whose geometry stays in the shared instance
+        table (AREA_GEOM_INST): one LightTable row + one CDF segment per
+        instance, O(proto) geometry. Requires a similarity transform
+        (relative triangle areas must be preserved for the shared
+        area-CDF to stay correct)."""
+        o2w = np.asarray(o2w, np.float32)
+        self.instances.append((proto_id, o2w))
+        pr = self.protos[proto_id]
+        lid = -1
+        if pr.get("area_L") is not None:
+            A = o2w[:3, :3]
+            det = float(np.linalg.det(A))
+            s_lin = abs(det) ** (1.0 / 3.0)
+            if not np.allclose(A @ A.T, (s_lin * s_lin) * np.eye(3),
+                               atol=1e-4 * max(s_lin * s_lin, 1.0)):
+                raise ValueError(
+                    "instanced area emitters need a similarity transform "
+                    "(rotation + uniform scale + translation); fold "
+                    "non-uniform scales into the prototype or duplicate")
+            v = pr["verts"]
+            idx = pr["idx"]
+            p0, p1, p2 = v[idx[:, 0]], v[idx[:, 1]], v[idx[:, 2]]
+            areas = 0.5 * np.linalg.norm(np.cross(p1 - p0, p2 - p0),
+                                         axis=-1)
+            params = np.zeros(8, np.float32)
+            params[5] = 1.0 if det >= 0 else -1.0
+            lid = len(self.lights)
+            self.lights.append(_Light(
+                D.LIGHT_AREA, o2w, pr["area_L"], params=params,
+                nsamples=pr.get("area_nsamples", 1),
+                area_geom_kind=D.AREA_GEOM_INST, area_first=proto_id,
+                area_count=len(areas),
+                area_total=float(areas.sum()) * s_lin * s_lin,
+                tri_areas=areas))
+        self.instance_area_light.append(lid)
         return len(self.instances) - 1
 
     # ---- lights ---------------------------------------------------------
@@ -572,6 +613,17 @@ class SceneBuilder:
                 c /= max(c[-1], 1e-12)
                 cdf_flat.extend(c.tolist())
                 max_cnt = max(max_cnt, li_.area_count)
+            elif (li_.kind == D.LIGHT_AREA
+                  and li_.area_geom_kind == D.AREA_GEOM_INST):
+                # area_first: proto id -> first GLOBAL proto-tri id in the
+                # instance table (concatenation order of build_instances).
+                proto_tri_offset = np.concatenate(
+                    [[0], np.cumsum([len(p["idx"]) for p in self.protos])])
+                li_.area_first = int(proto_tri_offset[li_.area_first])
+                c = np.concatenate([[0.0], np.cumsum(li_.tri_areas)])
+                c /= max(c[-1], 1e-12)
+                cdf_flat.extend(c.tolist())
+                max_cnt = max(max_cnt, li_.area_count)
             else:
                 cdf_flat.extend([0.0, 1.0])
         # Importance tables (infinitesample): third meta element is the
@@ -612,6 +664,10 @@ class SceneBuilder:
                 area_cdf=np.asarray(cdf_flat, np.float32),
                 count=nl, infinite_meta=infinite_meta,
                 dir_map_meta=dir_map_meta, max_area_count=max_cnt,
+                inst_area=any(
+                    l.kind == D.LIGHT_AREA
+                    and l.area_geom_kind == D.AREA_GEOM_INST
+                    for l in self.lights),
                 kinds_present=tuple(sorted({l.kind for l in self.lights})),
                 kinds_list=tuple(int(l.kind) for l in self.lights))
         else:
@@ -674,8 +730,18 @@ class SceneBuilder:
         # tables + per-instance transforms, O(protos + instances) memory.
         inst_tab = None
         if self.instances:
+            import dataclasses as _dc
+            import jax as _jax
             from ..accel.instances import build_instances
             inst_tab = build_instances(self.protos, self.instances)
+            tri_em = np.concatenate(
+                [np.full(len(p["idx"]), p.get("area_L") is not None)
+                 for p in self.protos])
+            inst_tab = _dc.replace(
+                inst_tab,
+                tri_emissive=_jax.device_put(tri_em),
+                inst_area_light=_jax.device_put(np.asarray(
+                    self.instance_area_light, np.int32)))
             wlo = np.minimum(wlo, np.asarray(inst_tab.bounds_lo))
             whi = np.maximum(whi, np.asarray(inst_tab.bounds_hi))
 

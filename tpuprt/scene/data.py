@@ -48,6 +48,9 @@ CAMERA_ENVIRONMENT = 2
 # Area-light geometry reference kinds.
 AREA_GEOM_QUADRIC = 0
 AREA_GEOM_TRIS = 1
+# Emitting geometry lives in the INSTANCE table (object space, shared
+# across instances); the light's l2w IS the instance transform.
+AREA_GEOM_INST = 2
 
 
 @pytree_dataclass
@@ -193,6 +196,9 @@ class LightTable:
     # Static roster of (light_id, image_id) for projection/goniometric maps.
     dir_map_meta: Tuple = static(default=())
     max_area_count: int = static(default=1)
+    # Any AREA_GEOM_INST lights present (sampling adds the instance-table
+    # branch only when true — trace-time static).
+    inst_area: bool = static(default=False)
     # Importance tables for infinite lights (lights/infinitesample.cpp) are
     # attached per-scene in SceneData.env_importance.
 
@@ -356,6 +362,12 @@ class InstanceTable:
     # mirrored ObjectInstance matches the duplication path's flip
     # (ADVICE r4; reference folds it via ctm @ sctm at shape build).
     inst_sign: jnp.ndarray = None   # f32[I]
+    # Instanced area emitters (AREA_GEOM_INST lights): proto tris that
+    # belong to an emissive shape, and each instance's light id (-1 =
+    # not an emitter). Geometry stays O(proto); each instance adds one
+    # LightTable row + one CDF segment.
+    tri_emissive: jnp.ndarray = None   # bool[T]
+    inst_area_light: jnp.ndarray = None  # i32[I]
     count: int = static(default=0)        # instances
     n_tris: int = static(default=0)       # total prototype triangles
     n_entries: int = static(default=0)

@@ -378,14 +378,34 @@ class PbrtParser:
         elif name == "ObjectInstance":
             # Ray-transform instancing (core/primitive.cpp:66-85): mesh
             # shapes become a shared prototype + per-instance transform.
-            # Area-light objects and quadrics fall back to duplication
-            # (instanced emission is unsupported; quadric BLAS rows only
-            # inline triangles).
+            # QUADRICS instead fold the instance transform into a new
+            # analytic-quadric table row: that row (kind + 2 transforms +
+            # 8 params) is the SAME O(1) storage as the reference's
+            # InstancePrimitive{ptr, o2w, w2o}, so transform-folding IS
+            # the memory-optimal instancing for analytic shapes — only
+            # tessellated geometry gains from a shared BLAS. Area-light
+            # objects also take the fold/duplicate path: each instance
+            # of an emitter is semantically a DISTINCT light (its own
+            # power, its own CDF entry), which is what per-instance rows
+            # give directly.
             nm = ts.next()[1]
             for i, (sn, sp, sctm, sgs) in enumerate(self.objects.get(nm, [])):
                 mesh_kinds = ("trianglemesh", "loopsubdiv", "nurbs",
                               "heightfield")
-                if sgs.area_light is None and sn in mesh_kinds:
+                # Emissive mesh objects instance too (AREA_GEOM_INST: each
+                # placement becomes its own light sharing the prototype
+                # geometry) when the instance transform is a similarity —
+                # the shared object-space area CDF needs relative areas
+                # preserved. Otherwise fold/duplicate.
+                emissive_ok = False
+                if sgs.area_light is not None and sn in mesh_kinds:
+                    A = np.asarray(self.ctm, np.float32)[:3, :3]
+                    s_lin = abs(float(np.linalg.det(A))) ** (1.0 / 3.0)
+                    emissive_ok = bool(np.allclose(
+                        A @ A.T, (s_lin * s_lin) * np.eye(3),
+                        atol=1e-4 * max(s_lin * s_lin, 1.0)))
+                if sn in mesh_kinds and (sgs.area_light is None or
+                                         emissive_ok):
                     key = (nm, i)
                     pid = self._proto_cache.get(key)
                     if pid is None:
@@ -400,10 +420,17 @@ class PbrtParser:
                         else:
                             from .tessellate import tessellate
                             P, idx, N, uv = tessellate(sn, sp)
+                        al_L = None
+                        al_ns = 1
+                        if sgs.area_light is not None:
+                            _, ap = sgs.area_light
+                            al_L = ap.find_spectrum("L", (1.0,) * 3)
+                            al_ns = int(ap.find_one("nsamples", 1))
                         pid = self.builder.add_prototype(
                             idx, P, N=N, uv=uv, material=mat,
                             reverse_orientation=sgs.reverse_orientation,
-                            o2w=sctm)
+                            o2w=sctm, area_light_L=al_L,
+                            area_nsamples=al_ns)
                         self._proto_cache[key] = pid
                     self.builder.add_instance(pid, self.ctm)
                 else:
