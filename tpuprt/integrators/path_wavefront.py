@@ -219,6 +219,12 @@ def _step(scene: SceneData, film, st, cursor, cfg, seed, max_depth,
     has_vols = scene.volumes is not None and scene.volumes.count > 0
     n_active = jnp.sum(alive.astype(jnp.float32))
 
+    # NOTE (r5 A/B): skipping the pre-sort for pure-camera pools
+    # (non-path modes, no specular lobes) was tried and is a LOSS on the
+    # streamed BVH (config5 1.03 -> 1.15 s): camera origins coincide, so
+    # the sort is effectively an octant SPLIT, and packets straddling
+    # direction-sign boundaries would otherwise carry unbounded slab
+    # unions. Keep the sort unconditional.
     t, pid, hit = isect.intersect_ids(scene, ro, rd, st["mint"], st["maxt"])
 
     if has_vols:
