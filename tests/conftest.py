@@ -22,6 +22,13 @@ try:
 except Exception:
     flags = platform.processor()
 _hostkey = hashlib.sha1(flags.encode()).hexdigest()[:10]
+# Per-xdist-worker cache dirs: two workers writing one cache dir is the
+# prime suspect for the rare in-run worker crashes observed in
+# backend_compile_and_load / the persistent-cache writer (the dying
+# worker's current test reports as failed even though it passes alone
+# and whole-file). Worker ids are stable (gw0/gw1), so each sub-cache
+# still persists across runs.
+_worker = os.environ.get("PYTEST_XDIST_WORKER", "main")
 jax.config.update("jax_compilation_cache_dir",
-                  f"/tmp/tpuprt_jax_cache_cpu_{_hostkey}")
+                  f"/tmp/tpuprt_jax_cache_cpu_{_hostkey}_{_worker}")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
